@@ -1,0 +1,358 @@
+"""SD-v1.5 UNet2DCondition re-designed TPU-first (flax.linen, NHWC, bf16).
+
+From-scratch reimplementation of the eps-prediction UNet the reference loads
+via diffusers (reference: diffmining/finetuning/cars.py:113, typicality/
+compute.py:100). Architectural parity with the SD-v1.5 checkpoint layout so
+converted HF weights drop in (utils/weights.py), but:
+
+  * NHWC layout end-to-end (TPU convs are NHWC-native; the reference is NCHW).
+  * Feature taps are explicit return values — `apply(..., up_ft_indices=(1,))`
+    returns intermediate up-block activations. This replaces both the forked
+    forward of the reference's DIFT (typicality/dift.py:23-169) and the
+    monkey-patched module hooks of PnP (applications/parallel-dataset/
+    pnp.py:275-476) with one functional code path.
+  * PnP activation injection flows in as an explicit `injection` dict and the
+    matching activations flow out via `collect` — no module mutation, safe
+    under jit/scan.
+
+Injection/collection keys (stable public contract, used by applications/pnp.py):
+  "up.{i}.res.{j}"        — output of ResnetBlock j of up-block i
+  "{path}.attn1.q" / ".k" — self-attention q/k after head-split, [B,H,L,D]
+where {path} is e.g. "down.0.tf.1", "mid.tf.0", "up.1.tf.2".
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from diffmining_tpu.ops.attention import merge_heads, sdpa, split_heads
+
+Injection = Dict[str, jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    num_attention_heads: int = 8
+    # which down blocks carry spatial transformers (True) — SD1.5: first three
+    down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
+    transformer_layers: int = 1
+    norm_num_groups: int = 32
+    freq_shift: int = 0
+    flip_sin_to_cos: bool = True
+    sample_size: int = 64
+
+    @property
+    def up_block_has_attn(self) -> Tuple[bool, ...]:
+        return tuple(reversed(self.down_block_has_attn))
+
+
+SD15_UNET = UNetConfig()
+
+TINY_UNET = UNetConfig(
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    cross_attention_dim=32,
+    num_attention_heads=2,
+    down_block_has_attn=(True, False),
+    norm_num_groups=8,
+    sample_size=8,
+)
+
+
+def timestep_embedding(
+    timesteps: jax.Array, dim: int, flip_sin_to_cos: bool = True, freq_shift: int = 0, max_period: int = 10000
+) -> jax.Array:
+    """Sinusoidal timestep embedding, matching diffusers' Timesteps layer.
+
+    timesteps: [B] int/float -> [B, dim] float32.
+    """
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: jax.Array) -> jax.Array:
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(t_emb.astype(self.dtype))
+        x = nn.silu(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when context is None.
+
+    Supports PnP-style q/k injection and collection via the parent-supplied
+    tap name.
+    """
+
+    query_dim: int
+    heads: int
+    dim_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        tap: str = "",
+        injection: Optional[Injection] = None,
+        collect: Optional[Dict[str, jax.Array]] = None,
+    ) -> jax.Array:
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q, k, v = (split_heads(a, self.heads) for a in (q, k, v))
+        if injection is not None and f"{tap}.q" in injection:
+            # PnP: every batch entry attends with the source image's q/k
+            # (reference pnp.py:424-432 overwrote uncond/cond q,k with source's).
+            src_q = injection[f"{tap}.q"]
+            src_k = injection[f"{tap}.k"]
+            q = jnp.broadcast_to(src_q, q.shape).astype(q.dtype)
+            k = jnp.broadcast_to(src_k, k.shape).astype(k.dtype)
+        if collect is not None:
+            collect[f"{tap}.q"] = q
+            collect[f"{tap}.k"] = k
+        out = sdpa(q, k, v)
+        out = merge_heads(out)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)  # diffusers GEGLU uses exact erf gelu
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    cross_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: jax.Array,
+        tap: str,
+        injection: Optional[Injection] = None,
+        collect: Optional[Dict[str, jax.Array]] = None,
+    ) -> jax.Array:
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = x + CrossAttention(self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
+            h, None, tap=f"{tap}.attn1", injection=injection, collect=collect
+        )
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        x = x + CrossAttention(self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn2")(
+            h, context
+        )
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+
+
+class SpatialTransformer(nn.Module):
+    """Transformer2DModel: GN -> 1x1 conv in -> blocks -> 1x1 conv out + res."""
+
+    channels: int
+    heads: int
+    cross_dim: int
+    depth: int = 1
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: jax.Array,
+        tap: str,
+        injection: Optional[Injection] = None,
+        collect: Optional[Dict[str, jax.Array]] = None,
+    ) -> jax.Array:
+        b, hh, ww, c = x.shape
+        res = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        h = h.astype(self.dtype)
+        h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(b, hh * ww, c)
+        dim_head = self.channels // self.heads
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                self.channels, self.heads, dim_head, self.cross_dim, dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(h, context, tap=f"{tap}.{i}", injection=injection, collect=collect)
+        h = h.reshape(b, hh, ww, c)
+        h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return h + res
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(self.channels, (3, 3), strides=2, padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, out_size: Optional[Tuple[int, int]] = None) -> jax.Array:
+        b, h, w, c = x.shape
+        th, tw = out_size if out_size is not None else (h * 2, w * 2)
+        x = jax.image.resize(x, (b, th, tw, c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class UNet2DCondition(nn.Module):
+    config: UNetConfig = SD15_UNET
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jax.Array,  # [B, H, W, C] noisy latents (NHWC)
+        timesteps: jax.Array,  # [B] or [] int32
+        encoder_hidden_states: jax.Array,  # [B, 77, cross_dim]
+        up_ft_indices: Tuple[int, ...] = (),
+        injection: Optional[Injection] = None,
+        collect_injection: bool = False,
+        return_dict: bool = False,
+    ):
+        """Returns eps prediction [B,H,W,C]; with up_ft_indices also a dict of
+        up-block feature maps; with collect_injection also the PnP tap dict."""
+        cfg = self.config
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+        collect: Optional[Dict[str, jax.Array]] = {} if collect_injection else None
+
+        t_emb = timestep_embedding(
+            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift
+        )
+        temb = TimestepEmbedding(cfg.block_out_channels[0] * 4, dtype=self.dtype, name="time_embedding")(t_emb)
+        context = encoder_hidden_states.astype(self.dtype)
+
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
+            sample.astype(self.dtype)
+        )
+
+        # --- down ---
+        skips = [x]
+        n_blocks = len(cfg.block_out_channels)
+        for i, ch in enumerate(cfg.block_out_channels):
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock(ch, groups=cfg.norm_num_groups, dtype=self.dtype, name=f"down_{i}_res_{j}")(x, temb)
+                if cfg.down_block_has_attn[i]:
+                    x = SpatialTransformer(
+                        ch, cfg.num_attention_heads, cfg.cross_attention_dim,
+                        depth=cfg.transformer_layers, groups=cfg.norm_num_groups,
+                        dtype=self.dtype, name=f"down_{i}_tf_{j}",
+                    )(x, context, tap=f"down.{i}.tf.{j}", injection=injection, collect=collect)
+                skips.append(x)
+            if i < n_blocks - 1:
+                x = Downsample(ch, dtype=self.dtype, name=f"down_{i}_downsample")(x)
+                skips.append(x)
+
+        # --- mid ---
+        mid_ch = cfg.block_out_channels[-1]
+        x = ResnetBlock(mid_ch, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_res_0")(x, temb)
+        x = SpatialTransformer(
+            mid_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
+            depth=cfg.transformer_layers, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_tf",
+        )(x, context, tap="mid.tf", injection=injection, collect=collect)
+        x = ResnetBlock(mid_ch, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_res_1")(x, temb)
+
+        # --- up ---
+        up_ft: Dict[int, jax.Array] = {}
+        rev_channels = tuple(reversed(cfg.block_out_channels))
+        up_has_attn = cfg.up_block_has_attn
+        for i, ch in enumerate(rev_channels):
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResnetBlock(ch, groups=cfg.norm_num_groups, dtype=self.dtype, name=f"up_{i}_res_{j}")(x, temb)
+                if injection is not None and f"up.{i}.res.{j}" in injection:
+                    src = injection[f"up.{i}.res.{j}"]
+                    x = jnp.broadcast_to(src, x.shape).astype(x.dtype)
+                if collect is not None:
+                    collect[f"up.{i}.res.{j}"] = x
+                if up_has_attn[i]:
+                    x = SpatialTransformer(
+                        ch, cfg.num_attention_heads, cfg.cross_attention_dim,
+                        depth=cfg.transformer_layers, groups=cfg.norm_num_groups,
+                        dtype=self.dtype, name=f"up_{i}_tf_{j}",
+                    )(x, context, tap=f"up.{i}.tf.{j}", injection=injection, collect=collect)
+            if i in up_ft_indices:
+                up_ft[i] = x
+            if i < n_blocks - 1:
+                out_size = skips[-1].shape[1:3] if skips else None
+                x = Upsample(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x, out_size)
+
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5, dtype=jnp.float32, name="conv_norm_out")(x)
+        x = nn.silu(x).astype(self.dtype)
+        eps = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
+
+        outputs: Dict[str, Any] = {"sample": eps}
+        if up_ft_indices:
+            outputs["up_ft"] = up_ft
+        if collect_injection:
+            outputs["taps"] = collect
+        if return_dict or up_ft_indices or collect_injection:
+            return outputs
+        return eps

@@ -1,0 +1,94 @@
+"""Attention kernels.
+
+TPU-native replacement for xformers ``memory_efficient_attention`` which the
+reference enables on every UNet (reference: diffmining/typicality/compute.py:71-72,
+finetuning/base.py:178-191). Two interchangeable implementations behind one
+signature:
+
+  * ``sdpa_xla``   — einsum softmax; XLA fuses this well and it is the
+                     baseline/fallback (and the only path on CPU tests).
+  * ``sdpa_pallas``— Pallas flash-attention kernel for TPU (ops/flash_attention.py).
+
+``sdpa`` dispatches on the default backend, settable globally; UNet sequence
+lengths here are ≤4096 (64×64 latents) for self-attention and 77 for
+cross-attention.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+_DEFAULT_BACKEND = os.environ.get("DIFFMINING_ATTN_BACKEND", "auto")
+
+
+def set_attention_backend(name: str) -> None:
+    """Set the process-wide attention backend: 'xla' | 'pallas' | 'auto'."""
+    global _DEFAULT_BACKEND
+    assert name in ("xla", "pallas", "auto"), name
+    _DEFAULT_BACKEND = name
+
+
+def get_attention_backend() -> str:
+    if _DEFAULT_BACKEND != "auto":
+        return _DEFAULT_BACKEND
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
+def sdpa_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,
+    scale: float | None = None,
+) -> jax.Array:
+    """Scaled dot-product attention.
+
+    Shapes: q [B, H, Lq, D], k/v [B, H, Lk, D] -> [B, H, Lq, D].
+    Softmax accumulates in fp32 regardless of input dtype (bf16 on TPU).
+    """
+    *_, d = q.shape
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,
+    scale: float | None = None,
+) -> jax.Array:
+    backend = get_attention_backend()
+    if backend == "pallas" and mask is None:
+        try:
+            from diffmining_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(q, k, v, scale=scale)
+        except Exception:
+            pass  # fall back to XLA (e.g. unsupported shape)
+    return sdpa_xla(q, k, v, mask=mask, scale=scale)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """[B, L, H*D] -> [B, H, L, D]."""
+    b, l, hd = x.shape
+    return x.reshape(b, l, num_heads, hd // num_heads).transpose(0, 2, 1, 3)
+
+
+@jax.jit
+def merge_heads(x: jax.Array) -> jax.Array:
+    """[B, H, L, D] -> [B, L, H*D]."""
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)

@@ -1,0 +1,74 @@
+"""Device mesh / sharding helpers.
+
+The reference's only collectives are DDP grad-allreduce + loss gather under HF
+Accelerate/NCCL (reference: finetuning/base.py:90-96, cars.py:290-294). Here
+the equivalent is a jax.sharding Mesh with XLA collectives over ICI:
+
+  * axis "dp"   — batch data parallelism (training + typicality sweeps)
+  * axis "fsdp" — optional parameter sharding (SD-v1.5 fits per chip, so this
+                  defaults to 1; kept for pods/memory headroom)
+
+No custom transport: pjit + NamedSharding lets XLA insert psum/all-gather.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    dp: Optional[int] = None,
+    fsdp: int = 1,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        dp = n // fsdp
+    assert dp * fsdp == n, f"mesh {dp}x{fsdp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, fsdp)
+    return Mesh(arr, ("dp", "fsdp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch axis over dp (replicated over fsdp)."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def fsdp_sharding(mesh: Mesh, param: jax.ShapeDtypeStruct) -> NamedSharding:
+    """Shard the largest divisible axis of a parameter over fsdp."""
+    fsdp_size = mesh.shape["fsdp"]
+    if fsdp_size == 1:
+        return NamedSharding(mesh, P())
+    shape = param.shape
+    # pick the largest axis divisible by fsdp_size
+    best = None
+    for i, s in enumerate(shape):
+        if s % fsdp_size == 0 and (best is None or s > shape[best]):
+            best = i
+    if best is None:
+        return NamedSharding(mesh, P())
+    spec = [None] * len(shape)
+    spec[best] = "fsdp"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_params(mesh: Mesh, params):
+    """Place a param pytree: fsdp-shard big tensors, replicate the rest."""
+    def place(x):
+        sds = jax.ShapeDtypeStruct(x.shape, x.dtype) if hasattr(x, "shape") else None
+        sh = fsdp_sharding(mesh, sds) if sds is not None and x.ndim >= 1 else replicated(mesh)
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(place, params)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

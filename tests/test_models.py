@@ -1,0 +1,118 @@
+"""Shape/semantics tests of the SD model stack on tiny configs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffmining_tpu.models.clip import CLIPTextModel, TINY_CLIP_TEXT
+from diffmining_tpu.models.unet import TINY_UNET, UNet2DCondition
+from diffmining_tpu.models.vae import TINY_VAE, AutoencoderKL, sample_latent
+
+
+@pytest.fixture(scope="module")
+def unet_setup():
+    unet = UNet2DCondition(TINY_UNET)
+    x = jnp.zeros((2, 16, 16, 4))
+    t = jnp.array([10, 20])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 32))
+    params = unet.init(jax.random.PRNGKey(0), x, t, ctx)
+    return unet, params, x, t, ctx
+
+
+def test_unet_eps_shape(unet_setup):
+    unet, params, x, t, ctx = unet_setup
+    eps = unet.apply(params, x, t, ctx)
+    assert eps.shape == x.shape
+
+
+def test_unet_feature_taps(unet_setup):
+    """Feature taps replace the reference's forked DIFT forward
+    (diffmining/typicality/dift.py:23-169): up_ft[i] is up-block i's output."""
+    unet, params, x, t, ctx = unet_setup
+    out = unet.apply(params, x, t, ctx, up_ft_indices=(0, 1))
+    ft = out["up_ft"]
+    # tiny config: 2 blocks, block 0 at bottleneck res (8), block 1 at full res (16)
+    assert ft[0].shape == (2, 8, 8, 64)
+    assert ft[1].shape == (2, 16, 16, 32)
+
+
+def test_unet_odd_sizes(unet_setup):
+    """Non-divisible spatial sizes must upsample back to the skip's size
+    (reference handles this via forward_upsample_size, dift.py:48-56)."""
+    unet, params, *_ = unet_setup
+    x = jnp.zeros((1, 15, 9, 4))
+    ctx = jnp.zeros((1, 77, 32))
+    eps = unet.apply(params, x, jnp.array([3]), ctx)
+    assert eps.shape == x.shape
+
+
+def test_unet_collect_then_inject(unet_setup):
+    """PnP contract: collecting taps from a source pass and injecting them into
+    another pass forces the injected activations (replaces pnp.py's
+    monkey-patching, pnp.py:275-476)."""
+    unet, params, x, t, ctx = unet_setup
+    src = unet.apply(params, x[:1], t[:1], ctx[:1], collect_injection=True)
+    taps = src["taps"]
+    assert any(k.endswith(".attn1.q") for k in taps)
+    assert any(k.startswith("up.") and ".res." in k for k in taps)
+    res_keys = [k for k in taps if k.startswith("up.") and ".res." in k]
+    inj = {res_keys[0]: taps[res_keys[0]]}
+    out = unet.apply(params, x, t, ctx, injection=inj, collect_injection=True)
+    np.testing.assert_allclose(
+        np.asarray(out["taps"][res_keys[0]][0], dtype=np.float32),
+        np.asarray(taps[res_keys[0]][0], dtype=np.float32),
+        rtol=1e-5,
+    )
+
+
+def test_unet_timestep_dependence(unet_setup):
+    unet, params, x, t, ctx = unet_setup
+    e1 = unet.apply(params, x, jnp.array([5, 5]), ctx)
+    e2 = unet.apply(params, x, jnp.array([900, 900]), ctx)
+    assert np.abs(np.asarray(e1) - np.asarray(e2)).max() > 1e-6
+
+
+def test_unet_bf16(unet_setup):
+    _, params, x, t, ctx = unet_setup
+    unet_bf16 = UNet2DCondition(TINY_UNET, dtype=jnp.bfloat16)
+    eps = unet_bf16.apply(params, x.astype(jnp.bfloat16), t, ctx.astype(jnp.bfloat16))
+    assert eps.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(eps, dtype=np.float32)).all()
+
+
+def test_vae_roundtrip_shapes():
+    vae = AutoencoderKL(TINY_VAE)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    params = vae.init(jax.random.PRNGKey(1), img, method=AutoencoderKL.encode_decode)
+    mean, logvar = vae.apply(params, img)
+    # 2 blocks -> one downsample -> /2 spatial, latent_channels=4
+    assert mean.shape == (1, 16, 16, 4) and logvar.shape == (1, 16, 16, 4)
+    z = sample_latent(mean, logvar, jax.random.PRNGKey(2), TINY_VAE.scaling_factor)
+    dec = vae.apply(params, z, method=AutoencoderKL.decode)
+    assert dec.shape == img.shape
+
+
+def test_vae_sample_latent_statistics():
+    """sample_latent implements mean + std*eps scaled by scaling_factor
+    (reference compute.py:91-93 semantics)."""
+    mean = jnp.zeros((1, 8, 8, 4))
+    logvar = jnp.zeros((1, 8, 8, 4))  # std == 1
+    zs = [
+        np.asarray(sample_latent(mean, logvar, jax.random.PRNGKey(i), 0.18215))
+        for i in range(16)
+    ]
+    z = np.stack(zs)
+    assert abs(z.mean()) < 0.02
+    np.testing.assert_allclose(z.std(), 0.18215, rtol=0.05)
+
+
+def test_clip_text_causal():
+    """Causality: token at position p must not affect hidden states before p."""
+    clip = CLIPTextModel(TINY_CLIP_TEXT)
+    ids = jnp.array([[1, 2, 3, 4, 5] + [0] * 72], dtype=jnp.int32)
+    params = clip.init(jax.random.PRNGKey(0), ids)
+    h1 = clip.apply(params, ids)
+    ids2 = ids.at[0, 4].set(99)
+    h2 = clip.apply(params, ids2)
+    np.testing.assert_allclose(np.asarray(h1[0, :4]), np.asarray(h2[0, :4]), rtol=1e-5, atol=1e-6)
+    assert np.abs(np.asarray(h1[0, 4]) - np.asarray(h2[0, 4])).max() > 1e-6
