@@ -1,0 +1,86 @@
+"""Training flag system — same surface as the reference's parser_base
+(reference: diffmining/finetuning/args.py:4-254, ~45 flags), with
+accelerate/CUDA-specific flags replaced by their TPU equivalents (mesh shape,
+bf16 default) and kept as accepted-but-inert aliases where scripts pass them.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parser_base() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="SD finetuning (TPU)")
+    # model / data
+    p.add_argument("--base_name_or_path", type=str, default="runwayml/stable-diffusion-v1-5",
+                   help="pipeline dir with converted SD weights (diffusers layout)")
+    p.add_argument("--clip_path", type=str, default=None,
+                   help="override text-encoder dir (e.g. StreetCLIP for geo)")
+    p.add_argument("--data_path", type=str, default=None)
+    p.add_argument("--output_dir", type=str, default="sd-model-finetuned")
+    p.add_argument("--cache_dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--resolution", type=int, default=256)
+    # training
+    p.add_argument("--train_batch_size", type=int, default=8)
+    p.add_argument("--num_train_epochs", type=int, default=100)
+    p.add_argument("--max_train_steps", type=int, default=None)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   help="jax.checkpoint (remat) on UNet blocks")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--scale_lr", action="store_true",
+                   help="scale lr by dp size × grad accumulation × batch (reference base.py:209)")
+    p.add_argument("--lr_scheduler", type=str, default="constant",
+                   choices=["constant", "linear", "cosine", "constant_with_warmup"])
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--ema_decay", type=float, default=0.9999)
+    p.add_argument("--non_ema_revision", type=str, default=None)
+    # optimizer (reference args.py:155-158)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-08)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="TPU equivalent: optax 8-bit-state adam (falls back to adamw)")
+    # precision / hardware
+    p.add_argument("--mixed_precision", type=str, default="bf16", choices=["no", "fp16", "bf16"])
+    p.add_argument("--allow_tf32", action="store_true", help="inert on TPU (MXU is bf16-native)")
+    p.add_argument("--xformers", action="store_true", help="inert: attention kernels are built in")
+    p.add_argument("--enable_xformers_memory_efficient_attention", action="store_true")
+    p.add_argument("--local_rank", type=int, default=-1)
+    p.add_argument("--dataloader_num_workers", type=int, default=4)
+    p.add_argument("--mesh_dp", type=int, default=None, help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--mesh_fsdp", type=int, default=1)
+    # lora
+    p.add_argument("--lora", action="store_true")
+    p.add_argument("--lora_rank", type=int, default=4)
+    # checkpoint / logging
+    p.add_argument("--checkpointing_steps", type=int, default=None)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--logging_steps", type=int, default=None)
+    p.add_argument("--logging_dir", type=str, default="logs")
+    p.add_argument("--report_to", type=str, default="tensorboard")
+    p.add_argument("--tracker_project_name", type=str, default="sd-finetune")
+    # export
+    p.add_argument("--export-only", dest="export_only", action="store_true")
+    p.add_argument("--export-dir", dest="export_dir", type=str, default=None)
+    # misc parity flags
+    p.add_argument("--random_subset", type=int, default=None)
+    p.add_argument("--num_samples_log", type=int, default=5)
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    return p
+
+
+def parse_args(argv=None):
+    args = parser_base().parse_args(argv)
+    env_local_rank = int(os.environ.get("LOCAL_RANK", -1))
+    if env_local_rank != -1 and env_local_rank != args.local_rank:
+        args.local_rank = env_local_rank
+    if args.non_ema_revision is not None:
+        args.use_ema = True
+    return args

@@ -1,0 +1,276 @@
+"""Finetuning datasets: per-domain loaders with the reference's exact prompt
+templates, null-dropout probabilities, and crop/resize rules.
+
+(reference: finetuning/cars.py:40-99 CarDB, ftt.py:37-66 FTT, geo.py:36-81 G3,
+places.py:34-70 G3r, applications/xray/finetune.py:36-69 XRay.)
+
+Host-side pipeline: pure-python index datasets + a threaded prefetching batch
+iterator (the reference uses torch DataLoader workers; on TPU hosts the
+bottleneck is PIL decode, which threads parallelize fine since PIL releases
+the GIL for codec work).
+"""
+from __future__ import annotations
+
+import json
+import os
+import queue
+import random
+import threading
+from collections import defaultdict
+from os.path import join
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from diffmining_tpu.models.tokenizer import CLIPTokenizer
+from diffmining_tpu.typicality.templates import get_decade
+from diffmining_tpu.utils.images import image_to_array, rescale_short_side
+
+
+def random_crop(arr: np.ndarray, size: int, rng: random.Random) -> np.ndarray:
+    h, w = arr.shape[:2]
+    if h < size or w < size:  # pad-reflect small images up to crop size
+        ph, pw = max(0, size - h), max(0, size - w)
+        arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+        h, w = arr.shape[:2]
+    i = rng.randint(0, h - size) if h > size else 0
+    j = rng.randint(0, w - size) if w > size else 0
+    return arr[i : i + size, j : j + size]
+
+
+class PromptDataset:
+    """Base: subclasses fill self.items = [(path, label_info)] and implement
+    prompt(label, rng) -> str."""
+
+    resolution: int = 256
+
+    def __init__(self, tokenizer: CLIPTokenizer, seed: int = 0):
+        self.tokenizer = tokenizer
+        self.items: List[Tuple[str, Any]] = []
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.items)
+
+    def load_image(self, path: str) -> np.ndarray:
+        raise NotImplementedError
+
+    def prompt(self, label, rng: random.Random) -> str:
+        raise NotImplementedError
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, Any]:
+        rng = random.Random((self.seed, epoch, i))
+        path, label = self.items[i]
+        arr = self.load_image(path)
+        arr = random_crop(arr, self.resolution, rng)
+        prompt = self.prompt(label, rng)
+        tokens = self.tokenizer([prompt])[0]
+        return dict(image=arr, prompt=prompt, tokenized=tokens)
+
+
+class CarDB(PromptDataset):
+    """'A car from the {decade}s.' with 5% base-prompt dropout; short side 256
+    + RandomCrop 256 (reference cars.py:40-77)."""
+
+    NEGATIVE_PROMPT = "A car"
+    resolution = 256
+
+    def __init__(self, data_path: str, tokenizer: CLIPTokenizer, seed: int = 0):
+        super().__init__(tokenizer, seed)
+        with open(join(data_path, "train.json")) as f:
+            self.metadata = json.load(f)
+        for image in sorted(os.listdir(join(data_path, "train"))):
+            self.items.append((join(data_path, "train", image), get_decade(self.metadata[image]["year"])))
+
+    def load_image(self, path: str) -> np.ndarray:
+        img = rescale_short_side(Image.open(path).convert("RGB"), 256)
+        return image_to_array(img)
+
+    def prompt(self, decade: str, rng: random.Random) -> str:
+        if rng.random() < 0.05:
+            return self.NEGATIVE_PROMPT + "."
+        return self.NEGATIVE_PROMPT + " from the " + decade + "s."
+
+
+class FTT(PromptDataset):
+    """Decade-folder face portraits, native resolution, 10% null dropout
+    (reference ftt.py:37-66: base 'A face portrait', choice p=[0.1, 0.9])."""
+
+    BASE_PROMPT = "A face portrait"
+    resolution = 256
+
+    def __init__(self, data_path: str, tokenizer: CLIPTokenizer, seed: int = 0):
+        super().__init__(tokenizer, seed)
+        for t in sorted(os.listdir(data_path)):
+            if not os.path.isdir(join(data_path, t)):
+                continue
+            for name in sorted(os.listdir(join(data_path, t))):
+                self.items.append((join(data_path, t, name), t))
+
+    def load_image(self, path: str) -> np.ndarray:
+        return image_to_array(Image.open(path).convert("RGB"))
+
+    def prompt(self, decade: str, rng: random.Random) -> str:
+        if rng.random() < 0.1:
+            return self.BASE_PROMPT + "."
+        return self.BASE_PROMPT + " of the " + decade + "s."
+
+
+class G3(PromptDataset):
+    """Street-view panorama crops: metadata.csv + 4 view angles, exclude.json,
+    RandomCrop 512, prompts p=[.05 null, .85 country, .10 region]
+    (reference geo.py:31-81)."""
+
+    BASE_PROMPT = "A google street view image"
+    resolution = 512
+
+    def __init__(self, data_path: str, tokenizer: CLIPTokenizer, seed: int = 0, angles=(0, 90, 180, 270)):
+        super().__init__(tokenizer, seed)
+        exclude = set()
+        if os.path.isfile(join(data_path, "exclude.json")):
+            with open(join(data_path, "exclude.json")) as f:
+                exclude = set(json.load(f))
+        import csv
+
+        with open(join(data_path, "metadata.csv")) as f:
+            for row in csv.DictReader(f):
+                key = row.get("id") or row.get("key")
+                if key in exclude:
+                    continue
+                country = row.get("country", "")
+                region = row.get("region", "") or row.get("area", "")
+                for a in angles:
+                    p = join(data_path, "images", f"{key}_{a}.jpg")
+                    if os.path.isfile(p):
+                        self.items.append((p, (country, region)))
+
+    def load_image(self, path: str) -> np.ndarray:
+        return image_to_array(Image.open(path).convert("RGB"))
+
+    def prompt(self, label: Tuple[str, str], rng: random.Random) -> str:
+        country, region = label
+        r = rng.random()
+        if r < 0.05:
+            return self.BASE_PROMPT
+        if r < 0.90 or not region:
+            return self.BASE_PROMPT + " in " + country
+        return self.BASE_PROMPT + ", at the region of " + region
+
+
+class G3r(PromptDataset):
+    """Recursive folder dataset ('places'): category = folder name; 512px
+    resize + RandomCrop 512; 'Image of {category}.' with 5% null
+    (reference places.py:34-70)."""
+
+    resolution = 512
+
+    def __init__(self, data_path: str, tokenizer: CLIPTokenizer, seed: int = 0):
+        super().__init__(tokenizer, seed)
+        for root, _dirs, files in sorted(os.walk(data_path)):
+            for name in sorted(files):
+                if name.lower().endswith((".jpg", ".png", ".jpeg")):
+                    category = os.path.relpath(root, data_path).replace(os.sep, "_")
+                    self.items.append((join(root, name), category))
+
+    def load_image(self, path: str) -> np.ndarray:
+        img = rescale_short_side(Image.open(path).convert("RGB"), 512, ceil_mode=True)
+        return image_to_array(img)
+
+    def prompt(self, category: str, rng: random.Random) -> str:
+        if rng.random() < 0.05:
+            return ""
+        return "Image of " + category.replace("_", " ") + "."
+
+
+class XRay(PromptDataset):
+    """NIH ChestX-ray14: metadata Data_Entry csv + train_val_list.txt; prompt
+    'Chest X-Ray with {labels}.' with 5% base-only; 'No Finding'→'no finding'
+    (reference applications/xray/finetune.py:36-69)."""
+
+    BASE_PROMPT = "Chest X-Ray"
+    resolution = 512
+
+    def __init__(self, data_path: str, tokenizer: CLIPTokenizer, seed: int = 0):
+        super().__init__(tokenizer, seed)
+        import csv
+
+        labels: Dict[str, str] = {}
+        with open(join(data_path, "metadata.csv")) as f:
+            for row in csv.DictReader(f):
+                name = row.get("Image Index") or row.get("image")
+                labels[name] = row.get("Finding Labels") or row.get("labels", "")
+        with open(join(data_path, "train_val_list.txt")) as f:
+            for line in f:
+                name = line.strip()
+                if name and name in labels:
+                    self.items.append((join(data_path, "images", name), labels[name]))
+
+    def load_image(self, path: str) -> np.ndarray:
+        img = rescale_short_side(Image.open(path).convert("RGB"), 512, ceil_mode=True)
+        return image_to_array(img)
+
+    def prompt(self, finding: str, rng: random.Random) -> str:
+        if rng.random() < 0.05:
+            return self.BASE_PROMPT + "."
+        parts = [p.replace("No Finding", "no finding") for p in finding.split("|")]
+        return self.BASE_PROMPT + " with " + ", ".join(parts) + "."
+
+
+class BatchIterator:
+    """Shuffled, epoch-aware, thread-prefetched batches of stacked arrays."""
+
+    def __init__(
+        self,
+        dataset: PromptDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 42,
+        num_threads: int = 4,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = num_threads
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random((self.seed, epoch)).shuffle(idx)
+        if self.drop_last:
+            idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
+
+        batches = [idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)]
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def worker():
+            for batch_ids in batches:
+                items = [self.dataset.__getitem__(i, epoch) for i in batch_ids]
+                q.put(
+                    dict(
+                        image=np.stack([it["image"] for it in items]).astype(np.float32),
+                        tokenized=np.stack([it["tokenized"] for it in items]),
+                        prompt=[it["prompt"] for it in items],
+                    )
+                )
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+
+
+DATASETS = {"cars": CarDB, "ftt": FTT, "geo": G3, "places": G3r, "xray": XRay}

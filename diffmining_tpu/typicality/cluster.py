@@ -1,0 +1,375 @@
+"""Mining/clustering: patch extraction, DIFT embedding, k-means, ranking.
+
+Rebuild of the reference's Cluster driver (reference: diffmining/typicality/
+cluster.py). Same artifact/caching contract (per-category pkl patch tables,
+per-patch embedding pkls, cluster member crops + figure grids) so outputs are
+interchangeable; the compute is redesigned:
+
+  * the per-image score map (fp16 grid -> channel mean -> bilinear upsample ->
+    64×64 stride-1 box filter -> null−cond) is ONE jitted op
+    (ops/pool.typicality_map) instead of torch eager chains in 12 joblib
+    workers (reference cluster.py:183-215);
+  * top-k non-overlap suppression runs on the score map directly without
+    materializing an H×W-row DataFrame per image (ops/pool.top_patches);
+  * k-means runs on the MXU (ops/kmeans) with the same (32 clusters,
+    random_state=10) defaults.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import random
+from collections import defaultdict
+from os.path import join
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from diffmining_tpu.ops.kmeans import KMeans
+from diffmining_tpu.ops.pool import pixel_typicality_map, top_patches, typicality_map
+from diffmining_tpu.typicality.compute import SD, D, Typicality
+from diffmining_tpu.typicality.dift import SDFeaturizer
+from diffmining_tpu.typicality.templates import dift_prompt
+from diffmining_tpu.utils.figures import add_border, hcat_margin, make_grid
+from diffmining_tpu.utils.images import image_to_array, image_uid, rescale_for_domain
+
+PATCH_COLUMNS = ["seed", "x_start", "y_start", "x_end", "y_end", "D", "origin"]
+
+
+def normalize(dm: np.ndarray, positive_only=False):
+    """Reference cluster.py:32-48 normalization for alpha overlays."""
+    dm = dm.copy()
+    if positive_only == "split":
+        dm = dm / np.abs(np.max(dm))
+        return np.clip(dm, 0, 1), -np.clip(dm, -1, 0)
+    if positive_only:
+        dm = np.maximum(dm, 0)
+        return dm / np.max(dm)
+    neg, pos = np.abs(np.min(dm)), np.max(dm)
+    if neg > 0:
+        dm[dm < 0] = dm[dm < 0] / neg
+    if pos > 0:
+        dm[dm > 0] = dm[dm > 0] / pos
+    return (dm + 1) / 2.0
+
+
+def mean_agg(vs):
+    return sum(v[1] for v in vs) / (1.0 * len(vs))
+
+
+def median_agg(vs):
+    return float(np.median([v[1] for v in vs]))
+
+
+class Cluster(Typicality):
+    def __init__(
+        self,
+        which: str,
+        typicality_path: str,
+        dataset_path: str,
+        cache_path: str,
+        recache: bool = False,
+        model_path: Optional[str] = None,
+        aggregate: str = "median",
+        kx: int = 64,
+        ky: int = 64,
+        cache_features: bool = True,
+        sd: Optional[SD] = None,
+        dift_sd: Optional[SD] = None,
+    ):
+        # model-free init: score maps only need the artifacts (reference
+        # cluster.py:58 passes model_path=None to Typicality)
+        super().__init__(which=which, model_path=None, dataset_path=dataset_path, typicality_path=typicality_path, sd=sd)
+        self.cache_path = cache_path
+        self.recache = recache
+        self.kx = kx
+        self.ky = ky
+        self.model_path = model_path
+        self.aggregate = median_agg if aggregate == "median" else mean_agg
+        self.cache_features = cache_features
+        self._dift_sd = dift_sd
+        self.dift: Optional[SDFeaturizer] = None
+
+    # ------------------------------------------------------------------
+    # score maps
+    # ------------------------------------------------------------------
+
+    def get_seeds(self, d: D, tag: str) -> List[str]:
+        if self.which in ("ftt", "cars"):
+            return [p for p in self.times[tag] if d.exists(p)]
+        if self.which == "geo":
+            return [p for p, is_gt in self.country_path[tag] if is_gt and d.exists(p)]
+        return [p for p in self.parent[tag] if d.exists(p)]
+
+    def load_image(self, path: str, pil: bool = True):
+        img = Image.open(path).convert("RGB")
+        img = rescale_for_domain(img, self.which)
+        return img if pil else np.asarray(img) / 255.0
+
+    def load_typicality(self, d: D, path: str) -> np.ndarray:
+        """Patch-score map [(h-kx+1), (w-ky+1)] (reference cluster.py:125-137)."""
+        w, h = self.load_image(path).size
+        grid = d(path)  # [N, 2, 4, hl, wl] fp16
+        return np.asarray(typicality_map(grid, h, w, self.kx, self.ky))
+
+    def load_typicality_norm(self, d: D, path: str) -> np.ndarray:
+        w, h = self.load_image(path).size
+        grid = d(path)
+        return normalize(np.asarray(pixel_typicality_map(grid, h, w)))
+
+    # ------------------------------------------------------------------
+    # patch tables
+    # ------------------------------------------------------------------
+
+    def df_D(
+        self, country: str, k_per_image: int = 5, seed: int = 42, ascending: bool = False,
+        gt_only: bool = False,
+    ) -> Tuple[pd.DataFrame, pd.DataFrame]:
+        """Per-image top-k non-overlapping boxes + random baseline boxes."""
+        d = self.D[country]
+        rows, rows_random = [], []
+        rng = random.Random(seed)
+        for path in self.get_seeds(d, country):
+            try:
+                dm = self.load_typicality(d, path)
+                score = -dm if ascending else dm
+                boxes, scores = top_patches(score, self.kx, self.ky, k_per_image)
+                for (x0, y0, x1, y1), s in zip(boxes, scores):
+                    rows.append((path, x0, y0, x1, y1, float(dm[x0, y0]), "real"))
+                # random baseline: shuffled candidate order, same suppression
+                h, w = dm.shape
+                rand_scores = np.asarray([rng.random() for _ in range(h * w)], dtype=np.float32).reshape(h, w)
+                rboxes, _ = top_patches(rand_scores, self.kx, self.ky, k_per_image)
+                for x0, y0, x1, y1 in rboxes:
+                    rows_random.append((path, x0, y0, x1, y1, float(dm[x0, y0]), "real"))
+            except Exception as ex:  # one corrupt image must not kill the sweep
+                print(f"error {ex} @path={path}")
+        df = pd.DataFrame(rows, columns=PATCH_COLUMNS)
+        df_random = pd.DataFrame(rows_random, columns=PATCH_COLUMNS)
+        return df, df_random
+
+    def _cluster_cache(self, country: str) -> str:
+        return join(self.cache_path, "clusters", country + ".pkl")
+
+    def patch_tables(self, k_per_image: int = 5) -> Dict[str, Tuple[pd.DataFrame, pd.DataFrame]]:
+        out = {}
+        for country in self.categories():
+            fp = self._cluster_cache(country)
+            if os.path.isfile(fp) and not self.recache:
+                with open(fp, "rb") as f:
+                    out[country] = pickle.load(f)
+            else:
+                os.makedirs(os.path.dirname(fp), exist_ok=True)
+                dfs = self.df_D(country, k_per_image=k_per_image)
+                with open(fp, "wb") as f:
+                    pickle.dump(dfs, f)
+                out[country] = dfs
+        return out
+
+    @staticmethod
+    def get_top_k(df: pd.DataFrame, key: str = "D", k: int = 1000, randomize: bool = False, ascending: bool = False) -> pd.DataFrame:
+        k = min(len(df), k)
+        if randomize:
+            return df.sample(k, random_state=0)
+        return df.sort_values(by=[key], ascending=ascending).reset_index(drop=True).iloc[:k]
+
+    # ------------------------------------------------------------------
+    # embeddings
+    # ------------------------------------------------------------------
+
+    def init_dift(self):
+        if self.dift is None:
+            sd = self._dift_sd
+            if sd is None:
+                assert self.model_path is not None, "DIFT features need a model"
+                sd = SD.from_pipeline_dir(self.which, self.model_path, [])
+            self.dift = SDFeaturizer(sd)
+
+    def compute_embeddings(
+        self, df: pd.DataFrame, c: str, to_add_border: bool = True, feature_which: str = "dift-261"
+    ):
+        """Per-patch features (reference cluster.py:243-310): DIFT = crop of
+        the whole-image feature map; cached per patch id."""
+        use_dift = "dift" in feature_which
+        t = int(feature_which.split("-")[1]) if use_dift else None
+        X, ids, pils, ds, orig_path = [], [], [], [], []
+        emb_dir = join(self.cache_path, "embeddings", feature_which)
+        os.makedirs(emb_dir, exist_ok=True)
+        for i in range(df.shape[0]):
+            row = df.iloc[i]
+            pil = self.load_image(row["seed"])
+            x0, y0, x1, y1 = int(row["x_start"]), int(row["y_start"]), int(row["x_end"]), int(row["y_end"])
+            patch = pil.crop((y0, x0, y1, x1))  # PIL crop is (left, upper, right, lower)
+            name = os.path.split(row["seed"])[1]
+            ext = os.path.splitext(name)[1]
+            idd = name.replace(ext, "_") + f"{x0}-{y0}-{x1}-{y1}"
+            ids.append(idd)
+            ds.append(row["D"])
+            orig_path.append(row["seed"])
+            pils.append(add_border(patch, "transparent" if row["origin"] == "fake" else "red") if to_add_border else patch)
+
+            pkl_file = join(emb_dir, idd + ".pkl")
+            if self.cache_features and os.path.isfile(pkl_file):
+                with open(pkl_file, "rb") as f:
+                    emb = pickle.load(f)
+            else:
+                self.init_dift()
+                arr = image_to_array(pil)
+                emb = self.dift.patch_feature(
+                    arr, dift_prompt(self.which, c), (x0, y0, x1, y1), t=t, uid=image_uid(row["seed"])
+                )
+                if self.cache_features:
+                    with open(pkl_file, "wb") as f:
+                        pickle.dump(emb, f)
+            X.append(emb)
+        return X, ids, pils, ds, orig_path
+
+    # ------------------------------------------------------------------
+    # clustering
+    # ------------------------------------------------------------------
+
+    def cluster(self, X, ids, pils, ds, real_paths, country=None, num_clusters: int = 8, project: bool = False):
+        """KMeans + rank clusters by aggregate typicality
+        (reference cluster.py:312-328)."""
+        X = np.stack(X, axis=0)
+        if project:
+            try:
+                import umap  # optional CPU post-step (reference cluster.py:315)
+
+                X = umap.UMAP(n_components=5).fit_transform(X)
+            except ImportError:
+                print("umap not available; clustering raw features")
+        km = KMeans(n_clusters=num_clusters, random_state=10).fit(X)
+        clusters = defaultdict(list)
+        for i, l in enumerate(km.labels_):
+            clusters[int(l)].append((pils[i], ds[i], ids[i], X[i], real_paths[i]))
+        ranked = []
+        for k, vs in clusters.items():
+            vs = sorted(vs, key=lambda v: float(np.linalg.norm(v[3] - km.cluster_centers_[k])))
+            members = [(a, b, c, e) for a, b, c, d_, e in vs]
+            ranked.append((members, self.aggregate(vs)))
+        return sorted(ranked, key=lambda kv: kv[1], reverse=True)
+
+    def clustering(
+        self, feature_which: str, k_per_image: int = 5, k: int = 1000, num_clusters: int = 32,
+        only_gt: bool = True, project: bool = False,
+    ):
+        """End-to-end mining (reference cluster.py:330-380): patch tables →
+        top-k per category → DIFT embeddings → k-means → save member crops."""
+        tables = self.patch_tables(k_per_image=k_per_image)
+        dfs = {c: self.get_top_k(t[0], k=k) for c, t in tables.items()}
+        results = {}
+        for country in sorted(self.categories()):
+            embs = self.compute_embeddings(dfs[country], c=country, to_add_border=not only_gt, feature_which=feature_which)
+            ranked = self.cluster(*embs, country=country, num_clusters=num_clusters, project=project)
+            results[country] = ranked
+            local_dir = join("images", "clusters", "ranked", feature_which, country)
+            parent = join(self.cache_path, local_dir)
+            os.makedirs(parent, exist_ok=True)
+            for i, (members, _score) in enumerate(ranked):
+                for j, (pil, _d, idd, _p) in enumerate(members):
+                    pil.save(join(parent, f"{i}-{j}-{num_clusters}_{idd}.png"))
+        return results
+
+    # ------------------------------------------------------------------
+    # whole-image ranking + figures
+    # ------------------------------------------------------------------
+
+    def rank_images(self, country: str, gt_only: bool = False) -> List[Tuple[str, float]]:
+        d = self.D[country]
+        out = []
+        for path in self.get_seeds(d, country):
+            try:
+                w, h = self.load_image(path).size
+                dm = np.asarray(pixel_typicality_map(d(path), h, w))
+                out.append((path, float(np.mean(dm))))
+            except Exception as ex:
+                print("error", ex, "@path=", path)
+        return out
+
+    def extract_top_k_images(self, output_dir: str, k: int = 5):
+        for country in self.categories():
+            os.makedirs(join(output_dir, "ordered"), exist_ok=True)
+            data = self.rank_images(country, gt_only=True)
+            data_min = sorted(data, key=lambda x: x[1])
+            data_max = sorted(data, key=lambda x: x[1], reverse=True)
+            shuffled = list(data)
+            random.Random(42).shuffle(shuffled)
+            for name, data_ in zip(["D_least", "D", "random"], [data_min, data_max, shuffled]):
+                pils = [self.load_image(p).convert("RGBA") for p, _ in data_[:k]]
+                if pils:
+                    hcat_margin(pils).save(join(output_dir, "ordered", f"{country}_{name}.png"))
+
+    def make_figure(
+        self, figure_path: str, hard_limit: int = 6, top_k: int = 5, min_im: int = 5,
+        feature_which: Optional[str] = None, grid_sep_x: int = 2, grid_sep_y: int = 2,
+    ):
+        """Cluster grids from saved member crops (reference cluster.py:439-510)."""
+        dirr = join(self.cache_path, "images", "clusters")
+        if not os.path.isdir(dirr):
+            return
+        for which in os.listdir(dirr):
+            for feature_type in os.listdir(join(dirr, which)):
+                if feature_which not in (None, "all", feature_type):
+                    continue
+                for t in os.listdir(join(dirr, which, feature_type)):
+                    parent = join(dirr, which, feature_type, t)
+                    group = defaultdict(list)
+                    for image_path in os.listdir(parent):
+                        cluster_id, idx = image_path.split("-")[:2]
+                        group[int(cluster_id)].append((int(idx), join(parent, image_path)))
+                    grid_rows = []
+                    for cid in sorted(group):
+                        if len(grid_rows) == top_k:
+                            break
+                        members = sorted(group[cid])
+                        if len(members) < min_im:
+                            continue
+                        grid_rows.append([Image.open(p).convert("RGB") for _, p in members[:hard_limit]])
+                    if grid_rows:
+                        os.makedirs(join(figure_path, "clusters"), exist_ok=True)
+                        make_grid(grid_rows, grid_sep_x, grid_sep_y).save(
+                            join(figure_path, "clusters", f"{t}_{which}.png")
+                        )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU mining/clustering (reference cluster.py CLI)")
+    parser.add_argument("-d", "--dataset_path", required=True)
+    parser.add_argument("-c", "--cache_path", required=True)
+    parser.add_argument("-t", "--typicality_path", required=True)
+    parser.add_argument("-m", "--model_path", default=None)
+    parser.add_argument("-w", "--which", required=True, choices=["ftt", "geo", "cars", "places"])
+    parser.add_argument("--recache", action="store_true")
+    parser.add_argument("--cluster", action="store_true")
+    parser.add_argument("--umap", action="store_true")
+    parser.add_argument("--feature_which", type=str, default="dift-161")
+    parser.add_argument("--figure_path", type=str, default=None)
+    parser.add_argument("--top_full_images", action="store_true")
+    parser.add_argument("--num_images", type=int, default=None)
+    parser.add_argument("--num_clusters", type=int, default=32)
+    parser.add_argument("--k", type=int, default=64)
+    parser.add_argument("--aggregate", type=str, default="median", choices=["mean", "median"])
+    args = parser.parse_args(argv)
+
+    cluster = Cluster(
+        args.which, args.typicality_path, args.dataset_path, args.cache_path, args.recache,
+        model_path=args.model_path, aggregate=args.aggregate, kx=args.k, ky=args.k,
+    )
+    if args.cluster:
+        cluster.clustering(
+            feature_which=args.feature_which, k=(1000 if args.num_images is None else args.num_images),
+            num_clusters=args.num_clusters, project=args.umap,
+        )
+    if args.figure_path is not None:
+        if args.top_full_images:
+            cluster.extract_top_k_images(args.figure_path)
+        else:
+            cluster.make_figure(args.figure_path, feature_which=args.feature_which)
+
+
+if __name__ == "__main__":
+    main()

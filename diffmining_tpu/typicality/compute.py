@@ -1,0 +1,485 @@
+"""Typicality pipeline: model bundle, per-category sweeps, artifact store,
+work-queue sharding, CLI.
+
+Pipeline-compatible rebuild of the reference CLI (reference: diffmining/
+typicality/compute.py). The artifact contract is preserved exactly — per-image
+`.npy` loss grids of shape [N, n_cond, 4, h/8, w/8] fp16 under
+`{typicality_path}/{category}/`, submission shard files `{i}.txt` of
+"path,category" lines, idempotent `exists` checks — so reference-produced
+artifacts and ours interoperate.
+
+TPU redesign vs the reference:
+  * images are batched per latent-shape bucket through ONE jitted scan
+    (the reference loops one image at a time, compute.py:182-192);
+  * the UNet batch is sharded over the mesh "dp" axis;
+  * prompts for all categories are embedded once (as the reference does).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from collections import defaultdict
+from os.path import join
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffmining_tpu.diffusion.schedule import Schedule, make_schedule
+from diffmining_tpu.models.clip import CLIPTextConfig, CLIPTextModel, CLIP_VIT_L_TEXT, TINY_CLIP_TEXT
+from diffmining_tpu.models.tokenizer import CLIPTokenizer, tiny_tokenizer
+from diffmining_tpu.models.unet import SD15_UNET, TINY_UNET, UNet2DCondition, UNetConfig
+from diffmining_tpu.models.vae import SD15_VAE, TINY_VAE, AutoencoderKL, VAEConfig, sample_latent
+from diffmining_tpu.typicality.engine import (
+    TypicalityEngine,
+    losses_to_reference_layout,
+)
+from diffmining_tpu.typicality.templates import get_decade, typicality_prompts
+from diffmining_tpu.utils.images import image_uid, load_image
+
+
+class CategoryFeatures:
+    """Tokenize + CLIP-encode the per-domain prompt templates
+    (reference compute.py:27-54)."""
+
+    def __init__(self, clip: CLIPTextModel, clip_params, tokenizer: CLIPTokenizer, which: str):
+        self.clip = clip
+        self.clip_params = clip_params
+        self.tokenizer = tokenizer
+        self.which = which
+        self._embed = jax.jit(lambda p, ids: self.clip.apply(p, ids))
+
+    def embed(self, categories: Sequence[str]) -> jax.Array:
+        prompts = typicality_prompts(self.which, categories)
+        ids = jnp.asarray(self.tokenizer(prompts))
+        return self._embed(self.clip_params, ids).astype(jnp.float32)
+
+    def __getitem__(self, categories):
+        return self.embed(categories)
+
+
+@dataclasses.dataclass
+class SD:
+    """Model bundle: UNet + VAE + CLIP text + schedule + tokenizer + embeds.
+
+    Construct with `SD.from_pipeline_dir` (diffusers-layout checkpoint, incl.
+    our finetuning exports) or `SD.init_random` (tests/bench).
+    """
+
+    which: str
+    unet: UNet2DCondition
+    unet_params: Any
+    vae: AutoencoderKL
+    vae_params: Any
+    clip: CLIPTextModel
+    clip_params: Any
+    tokenizer: CLIPTokenizer
+    schedule: Schedule
+    categories: List[str] = dataclasses.field(default_factory=list)
+    dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        self.country_features = CategoryFeatures(self.clip, self.clip_params, self.tokenizer, self.which)
+        apply_categories = [""] + sorted(self.categories)
+        if apply_categories:
+            cf = np.asarray(self.country_features.embed(apply_categories))
+            self.country_embeds = {c: cf[i] for i, c in enumerate(apply_categories)}
+        else:
+            self.country_embeds = {}
+        self._encode = jax.jit(lambda p, x: self.vae.apply(p, x))
+
+    @classmethod
+    def from_pipeline_dir(cls, which: str, path: str, categories: Sequence[str], dtype=jnp.bfloat16) -> "SD":
+        from diffmining_tpu.utils.weights import load_pipeline_dir
+
+        p = load_pipeline_dir(path)
+        tok_dir = p["tokenizer_dir"]
+        if os.path.isfile(join(tok_dir, "vocab.json")):
+            tokenizer = CLIPTokenizer.from_pretrained_dir(tok_dir)
+        else:
+            tokenizer = tiny_tokenizer(p["text_encoder"]["config"].vocab_size)
+        return cls(
+            which=which,
+            unet=UNet2DCondition(p["unet"]["config"], dtype=dtype),
+            unet_params={"params": p["unet"]["params"]},
+            vae=AutoencoderKL(p["vae"]["config"], dtype=dtype),
+            vae_params={"params": p["vae"]["params"]},
+            clip=CLIPTextModel(p["text_encoder"]["config"], dtype=dtype),
+            clip_params={"params": p["text_encoder"]["params"]},
+            tokenizer=tokenizer,
+            schedule=p["schedule"],
+            categories=list(categories),
+            dtype=dtype,
+        )
+
+    @classmethod
+    def init_random(
+        cls,
+        which: str,
+        categories: Sequence[str],
+        unet_config: UNetConfig = SD15_UNET,
+        vae_config: VAEConfig = SD15_VAE,
+        clip_config: CLIPTextConfig = CLIP_VIT_L_TEXT,
+        seed: int = 0,
+        dtype=jnp.bfloat16,
+        image_size: int = 64,
+    ) -> "SD":
+        rng = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        unet = UNet2DCondition(unet_config, dtype=dtype)
+        latent = jnp.zeros((1, image_size // 8, image_size // 8, unet_config.in_channels))
+        ctx = jnp.zeros((1, 77, unet_config.cross_attention_dim))
+        unet_params = unet.init(k1, latent, jnp.zeros((1,), jnp.int32), ctx)
+        vae = AutoencoderKL(vae_config, dtype=dtype)
+        vae_params = vae.init(k2, jnp.zeros((1, image_size, image_size, 3)), method=AutoencoderKL.encode_decode)
+        clip = CLIPTextModel(clip_config, dtype=dtype)
+        clip_params = clip.init(k3, jnp.zeros((1, 77), jnp.int32))
+        return cls(
+            which=which,
+            unet=unet,
+            unet_params=unet_params,
+            vae=vae,
+            vae_params=vae_params,
+            clip=clip,
+            clip_params=clip_params,
+            tokenizer=tiny_tokenizer(clip_config.vocab_size),
+            schedule=make_schedule(),
+            categories=list(categories),
+            dtype=dtype,
+        )
+
+    @classmethod
+    def init_tiny(cls, which: str, categories: Sequence[str], seed: int = 0) -> "SD":
+        """Tiny random stack for tests (CPU-runnable end to end)."""
+        return cls.init_random(
+            which, categories, TINY_UNET, TINY_VAE, TINY_CLIP_TEXT, seed=seed,
+            dtype=jnp.float32, image_size=32,
+        )
+
+    def encode_vae(self, images: jax.Array, rng: jax.Array) -> jax.Array:
+        """[B,H,W,3] in [-1,1] -> sampled scaled latents [B,H/8,W/8,4]
+        (reference compute.py:91-93: posterior sample × scaling_factor)."""
+        mean, logvar = self._encode(self.vae_params, images.astype(self.dtype))
+        return sample_latent(mean, logvar, rng, self.vae.config.scaling_factor)
+
+    def encode_vae_per_image(self, images: jax.Array, keys: jax.Array) -> jax.Array:
+        """Same, but with one PRNG key per image so a given image's latent
+        draw is independent of its batch position (deterministic re-runs)."""
+        mean, logvar = self._encode(self.vae_params, images.astype(self.dtype))
+        sf = self.vae.config.scaling_factor
+        return jax.vmap(lambda m, lv, k: sample_latent(m, lv, k, sf))(mean, logvar, keys)
+
+
+class D:
+    """Per-category typicality computation + .npy artifact store
+    (reference compute.py:105-202)."""
+
+    def __init__(
+        self,
+        sd: Optional[SD],
+        typicality_path: str,
+        which: str,
+        seed: int = 42,
+        N: int = 100,
+        t_min: float = 0.0,
+        t_max: float = 1.0,
+        chunk: int = 10,
+        batch_images: int = 8,
+        bucket_size: Optional[int] = None,
+        mesh=None,
+    ):
+        self.sd = sd
+        self.typicality_path = typicality_path
+        self.which = which
+        self.seed = seed
+        self.N = N
+        self.t_min = t_min
+        self.t_max = t_max
+        self.chunk = chunk
+        self.batch_images = batch_images
+        self.bucket_size = bucket_size
+        self.mesh = mesh
+        self._engine: Optional[TypicalityEngine] = None
+
+    @property
+    def engine(self) -> TypicalityEngine:
+        if self._engine is None:
+            assert self.sd is not None, "model-free D can only read artifacts"
+            self._engine = TypicalityEngine(
+                unet=self.sd.unet,
+                unet_params=self.sd.unet_params,
+                schedule=self.sd.schedule,
+                seed=self.seed,
+                n_samples=self.N,
+                t_min=self.t_min,
+                t_max=self.t_max,
+                chunk=self.chunk,
+                dtype=self.sd.dtype,
+            )
+        return self._engine
+
+    # --- artifact store (same protocol as the reference) ---
+
+    def get_path(self, path: str) -> str:
+        name = os.path.split(path)[1]
+        for ext in (".jpg", ".png", ".jpeg", ".JPG"):
+            name = name.replace(ext, ".npy")
+        return join(self.typicality_path, name)
+
+    def exists(self, path: str) -> bool:
+        return os.path.isfile(self.get_path(path))
+
+    def __call__(self, path: str) -> np.ndarray:
+        return np.load(self.get_path(path))
+
+    # --- compute ---
+
+    def _ctx_pair(self, country: str) -> np.ndarray:
+        """[2, 77, D] stack of [cond, null] embeddings — cond first, matching
+        the reference's stacking order (compute.py:187-188)."""
+        emb = self.sd.country_embeds
+        return np.stack([emb[country], emb[""]], axis=0)
+
+    def compute(self, country: str, path: str) -> None:
+        self.compute_batch([(path, country)])
+
+    def compute_batch(self, items: Sequence[Tuple[str, str]]) -> None:
+        """Compute + save typicality grids for (path, category) items, batching
+        same-shape images through one jitted sweep."""
+        by_shape: Dict[Tuple[int, int], List[Tuple[str, str, np.ndarray]]] = defaultdict(list)
+        for path, country in items:
+            arr, _ = load_image(path, self.which, self.bucket_size)
+            by_shape[arr.shape[:2]].append((path, country, arr))
+
+        for shape, group in by_shape.items():
+            for i in range(0, len(group), self.batch_images):
+                self._compute_group(group[i : i + self.batch_images])
+
+    def _compute_group(self, group: Sequence[Tuple[str, str, np.ndarray]]) -> None:
+        paths = [g[0] for g in group]
+        uids = [image_uid(p) for p in paths]
+        images = jnp.asarray(np.stack([g[2] for g in group]))
+        ctx = jnp.asarray(np.stack([self._ctx_pair(g[1]) for g in group]))
+        vae_key = jax.random.fold_in(jax.random.PRNGKey(self.seed), 7)
+        vae_keys = jnp.stack([jax.random.fold_in(vae_key, u) for u in uids])
+        latents = self.sd.encode_vae_per_image(images, vae_keys)
+        losses = self.engine.compute(latents, ctx, uids)  # [B,N,2,h,w,C]
+        losses.block_until_ready()
+        os.makedirs(self.typicality_path, exist_ok=True)
+        for b, path in enumerate(paths):
+            np.save(self.get_path(path), losses_to_reference_layout(np.asarray(losses[b])))
+
+
+def get_country(path: str) -> str:
+    country = os.path.split(path)[-1].split("__")[0]
+    if "--" in country:
+        country = country.split("--")[1]
+    return country
+
+
+class Typicality:
+    """Dataset scanning + submission work queue + sweep driver
+    (reference compute.py:210-341)."""
+
+    def __init__(
+        self,
+        which: str,
+        model_path: Optional[str],
+        dataset_path: str,
+        typicality_path: str,
+        t_min: float = 0.0,
+        t_max: float = 1.0,
+        sd: Optional[SD] = None,
+        N: int = 100,
+        batch_images: int = 8,
+        bucket_size: Optional[int] = None,
+    ):
+        self.which = which
+        load = {
+            "geo": self.load_paths_geo,
+            "ftt": self.load_paths_ftt,
+            "cars": self.load_paths_cars,
+            "places": self.load_paths_places,
+        }[which]
+        load(dataset_path)
+        if sd is None and model_path is not None:
+            sd = SD.from_pipeline_dir(which, model_path, self.categories())
+        self.sd = sd
+        self.D = {
+            c: D(
+                self.sd, join(typicality_path, c), which=which, t_min=t_min, t_max=t_max,
+                N=N, batch_images=batch_images, bucket_size=bucket_size,
+            )
+            for c in self.categories()
+        }
+
+    # --- path loaders (same directory protocols as the reference) ---
+
+    def load_paths_geo(self, dataset_path: str) -> None:
+        """gt--{country}__{sid}.jpg / {country}__{sid}.jpg protocol
+        (reference compute.py:222-244)."""
+        self.parent: Dict[str, Dict[str, Any]] = {}
+        self.country_path: Dict[str, List[Tuple[str, bool]]] = defaultdict(list)
+        for country_parent in sorted(os.listdir(dataset_path)):
+            seed_base, seeds = {}, defaultdict(list)
+            output_dir = join(dataset_path, country_parent)
+            if not os.path.isdir(output_dir):
+                continue
+            for seed in sorted(os.listdir(output_dir)):
+                sid = "__".join(seed.replace(".jpg", "").split("__")[1:])
+                country = seed.split("__")[0]
+                if country.startswith("gt--"):
+                    country = country.replace("gt--", "")
+                    self.country_path[country].append((join(output_dir, seed), True))
+                    seed_base[sid] = join(output_dir, seed)
+                elif "--" not in country:
+                    self.country_path[country].append((join(output_dir, seed), False))
+                    seeds[sid].append(join(output_dir, seed))
+            self.parent[country_parent] = {"base": seed_base, "neighbors": seeds}
+
+        self.parallel: Dict[str, List[Any]] = defaultdict(list)
+        for country, d in self.parent.items():
+            for k, v in d["base"].items():
+                data = [(v, country)] + [
+                    (n, os.path.split(n)[1].split("_")[0]) for n in d["neighbors"][k]
+                ]
+                self.parallel[country].append(data)
+
+    def load_paths_ftt(self, dataset_path: str) -> None:
+        self.times: Dict[str, List[str]] = defaultdict(list)
+        for t in sorted(os.listdir(dataset_path)):
+            if not os.path.isdir(join(dataset_path, t)):
+                continue
+            for path in sorted(os.listdir(join(dataset_path, t))):
+                self.times[t].append(join(dataset_path, t, path))
+
+    def load_paths_cars(self, dataset_path: str) -> None:
+        self.times = defaultdict(list)
+        with open(dataset_path + ".json", "r") as f:
+            self.metadata = json.load(f)
+        for image in sorted(os.listdir(dataset_path)):
+            self.times[get_decade(self.metadata[image]["year"])].append(join(dataset_path, image))
+
+    def load_paths_places(self, dataset_path: str) -> None:
+        self.parent = defaultdict(list)
+        categories = {}
+        with open(join(dataset_path, "categories_places365.txt"), "r") as f:
+            for line in f.readlines():
+                path, category_id = line.strip().split(" ")
+                categories[category_id] = "_".join(path.split("/")[2:])
+        with open(join(dataset_path, "places365_val.txt"), "r") as f:
+            for line in f.readlines():
+                path, category_id = line.strip().split(" ")
+                self.parent[categories[category_id]].append(join(dataset_path, "images", path))
+
+    def categories(self) -> List[str]:
+        if self.which == "geo":
+            return sorted(self.parent.keys())
+        if self.which == "places":
+            return sorted(self.parent.keys())
+        return sorted(self.times.keys())
+
+    def get_seeds_(self, c: str) -> List[str]:
+        if self.which in ("ftt", "cars"):
+            return list(self.times[c])
+        if self.which == "places":
+            return list(self.parent[c])
+        return [p for p, is_gt in self.country_path[c] if is_gt]
+
+    # --- work queue (reference compute.py:284-341) ---
+
+    def compute_submission(self, path: str) -> None:
+        """Execute one shard file; batches per category for the TPU sweep."""
+        with open(path, "r") as f:
+            lines = [l.strip() for l in f.readlines() if l.strip()]
+        by_cat: Dict[str, List[Tuple[str, str]]] = defaultdict(list)
+        for line in lines:
+            p, country = line.split(",")
+            by_cat[country].append((p, country))
+        for country, items in by_cat.items():
+            pending = [it for it in items if not self.D[country].exists(it[0])]
+            if pending:
+                self.D[country].compute_batch(pending)
+
+    def make_submission(self, target_path: str, submission_path: str, sub_split: int = 32) -> None:
+        """Greedy least-done-category balancing, round-robin into shard files
+        (reference compute.py:300-341)."""
+        full = {c: [] for c in self.categories()}
+        state = {c: 0 for c in self.categories()}
+        for c in self.categories():
+            for path in self.get_seeds_(c):
+                if self.D[c].exists(path):
+                    state[c] += 1
+                else:
+                    full[c].append(path)
+
+        subs = []
+        while any(map(len, full.values())):
+            category = min(state, key=state.get)
+            try:
+                path = full[category].pop(0)
+            except IndexError:
+                del full[category]
+                del state[category]
+                continue
+            state[category] -= 1
+            if not self.D[category].exists(path):
+                a, b = os.path.split(path)
+                if self.which == "cars":
+                    path = join(target_path, b)
+                else:
+                    path = join(target_path, os.path.split(a)[1], b)
+                subs.append((path, category))
+
+        os.makedirs(submission_path, exist_ok=True)
+        for i in range(sub_split):
+            with open(join(submission_path, f"{i}.txt"), "w") as f:
+                for path, country in subs[i::sub_split]:
+                    f.write(f"{path},{country}\n")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU typicality sweep (reference compute.py CLI)")
+    parser.add_argument("-s", "--submission_path", required=True)
+    parser.add_argument("-i", "--dataset_path", required=True)
+    parser.add_argument("-t", "--target_path", default=None)
+    parser.add_argument("-m", "--model_path", default=None)
+    parser.add_argument("-c", "--typicality_path", required=True)
+    parser.add_argument("--which", required=True, choices=["geo", "ftt", "cars", "places"])
+    parser.add_argument("--make_submission", action="store_true")
+    parser.add_argument("--sub_split", type=int, default=1)
+    parser.add_argument("--split_id", type=int, default=0)
+    parser.add_argument("--t_min", type=float, default=0.1)
+    parser.add_argument("--t_max", type=float, default=0.9)
+    parser.add_argument("--N", type=int, default=100)
+    parser.add_argument("--batch_images", type=int, default=8)
+    parser.add_argument("--bucket_size", type=int, default=None)
+    parser.add_argument("--dont_compute", action="store_false")
+    args = parser.parse_args(argv)
+
+    model_path = args.model_path
+    if model_path is not None and not os.path.isfile(join(model_path, "model_index.json")):
+        from diffmining_tpu.finetuning.export import export_model
+
+        model_path = export_model(args.which, model_path)
+
+    if args.target_path is None:
+        args.target_path = args.dataset_path
+
+    typ = Typicality(
+        args.which, model_path, args.dataset_path, args.typicality_path,
+        t_min=args.t_min, t_max=args.t_max, N=args.N,
+        batch_images=args.batch_images, bucket_size=args.bucket_size,
+    )
+    if args.make_submission:
+        typ.make_submission(args.target_path, args.submission_path, sub_split=args.sub_split)
+    if args.dont_compute:
+        assert args.model_path is not None
+        typ.compute_submission(join(args.submission_path, f"{args.split_id}.txt"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""The typicality engine: batched paired cond/null eps-prediction sweeps.
+
+TPU-first redesign of the reference's hot loop (reference: diffmining/
+typicality/compute.py:95-160). The reference computes, per image, N=100
+(eps, t) draws × {cond, null} in micro-batches of 10 through the UNet —
+one image at a time. Here the whole sweep is ONE jitted scan:
+
+    losses[n, b, c] = (unet(add_noise(x_b, eps_{n,b}, t_{n,b}), t_{n,b}, emb_c)
+                       − eps_{n,b})²     (elementwise, fp32 accumulate)
+
+vmapped over images b (same-shape bucket) and conditions c, scanned over
+sample chunks n, with the flattened UNet batch sharded over the device mesh's
+"dp" axis. Typicality is then T(x|c) = mean_n[L(null) − L(c)].
+
+RNG: deterministic `fold_in(seed_key, image_uid)` replaces the reference's
+`torch.manual_seed(42)` + CUDA randn (compute.py:139). Exact noise values
+differ from torch by design; parity is defined at the typicality-map /
+cluster-rank level (SURVEY.md §7 hard part 2).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffmining_tpu.diffusion.schedule import Schedule, add_noise
+from diffmining_tpu.models.unet import UNet2DCondition, UNetConfig
+
+
+def sample_noise_and_t(
+    key: jax.Array,
+    n_samples: int,
+    latent_shape: Tuple[int, ...],
+    t_min: float,
+    t_max: float,
+    num_train_timesteps: int = 1000,
+) -> Tuple[jax.Array, jax.Array]:
+    """Draw N (eps, t) pairs for one image: eps [N, h, w, C], t [N] int32.
+
+    t ~ Uniform{int(t_min*T) .. int(t_max*T)-1}, the reference's range
+    (compute.py:118-120).
+    """
+    knoise, kt = jax.random.split(key)
+    noise = jax.random.normal(knoise, (n_samples,) + tuple(latent_shape), dtype=jnp.float32)
+    lo = int(t_min * num_train_timesteps)
+    hi = max(int(t_max * num_train_timesteps), lo + 1)
+    t = jax.random.randint(kt, (n_samples,), lo, hi, dtype=jnp.int32)
+    return noise, t
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps_fn", "n_samples", "chunk", "t_lo", "t_hi"),
+)
+def sweep_losses(
+    eps_fn: Callable,
+    params: Any,
+    schedule: Schedule,
+    latents: jax.Array,  # [B, h, w, C] clean latents (one shape bucket)
+    ctx: jax.Array,  # [B, n_cond, L, D] text embeddings per image
+    keys: jax.Array,  # [B] per-image fold_in'ed PRNG keys
+    n_samples: int,
+    chunk: int,
+    t_lo: int,
+    t_hi: int,
+) -> jax.Array:
+    """Returns per-pixel losses [B, N, n_cond, h, w, C] in fp16.
+
+    The UNet batch per scan step is chunk*B*n_cond; lay out conditions
+    adjacently so cond/null share the noisy latent (computed once).
+    """
+    B, h, w, C = latents.shape
+    n_cond = ctx.shape[1]
+
+    def draw(key):
+        kn, kt = jax.random.split(key)
+        noise = jax.random.normal(kn, (n_samples, h, w, C), dtype=jnp.float32)
+        t = jax.random.randint(kt, (n_samples,), t_lo, t_hi, dtype=jnp.int32)
+        return noise, t
+
+    noises, ts = jax.vmap(draw)(keys)  # [B, N, h, w, C], [B, N]
+
+    n_chunks = n_samples // chunk
+    assert n_samples % chunk == 0, "n_samples must be divisible by chunk"
+    # reshape to scan layout [n_chunks, chunk, ...], leading axis B second
+    noises = noises.reshape(B, n_chunks, chunk, h, w, C).transpose(1, 0, 2, 3, 4, 5)
+    ts = ts.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+
+    lat_dtype = latents.dtype
+
+    def step(_, nt):
+        noise_c, t_c = nt  # [B, chunk, h, w, C], [B, chunk]
+        noisy = add_noise(
+            schedule,
+            latents[:, None].astype(jnp.float32),
+            noise_c,
+            t_c,
+        )  # [B, chunk, h, w, C]
+        # tile over conditions: batch = B*chunk*n_cond
+        noisy_b = jnp.broadcast_to(noisy[:, :, None], (B, chunk, n_cond, h, w, C))
+        noisy_b = noisy_b.reshape(B * chunk * n_cond, h, w, C).astype(lat_dtype)
+        t_b = jnp.broadcast_to(t_c[:, :, None], (B, chunk, n_cond)).reshape(-1)
+        ctx_b = jnp.broadcast_to(ctx[:, None], (B, chunk) + ctx.shape[1:])
+        ctx_b = ctx_b.reshape(B * chunk * n_cond, *ctx.shape[2:])
+        pred = eps_fn(params, noisy_b, t_b, ctx_b)
+        pred = pred.reshape(B, chunk, n_cond, h, w, C)
+        # fp32 pred vs noise, elementwise MSE (reference compute.py:101)
+        loss = (pred.astype(jnp.float32) - noise_c[:, :, None]) ** 2
+        return None, loss.astype(jnp.float16)
+
+    _, losses = jax.lax.scan(step, None, (noises, ts))
+    # [n_chunks, B, chunk, n_cond, h, w, C] -> [B, N, n_cond, h, w, C]
+    losses = losses.transpose(1, 0, 2, 3, 4, 5, 6).reshape(B, n_samples, n_cond, h, w, C)
+    return losses
+
+
+@dataclasses.dataclass
+class TypicalityEngine:
+    """Bundles the jittable pieces for the sweep over one latent-shape bucket."""
+
+    unet: UNet2DCondition
+    unet_params: Any
+    schedule: Schedule
+    seed: int = 42
+    n_samples: int = 100
+    t_min: float = 0.0
+    t_max: float = 1.0
+    chunk: int = 10
+    dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        self._eps_fn = lambda params, x, t, ctx: self.unet.apply(params, x, t, ctx)
+        self._base_key = jax.random.PRNGKey(self.seed)
+        # the scan needs chunk | n_samples; snap to the largest divisor
+        if self.n_samples % self.chunk != 0:
+            c = min(self.chunk, self.n_samples)
+            while self.n_samples % c != 0:
+                c -= 1
+            self.chunk = c
+
+    def image_key(self, image_uid: int) -> jax.Array:
+        return jax.random.fold_in(self._base_key, image_uid)
+
+    def compute(self, latents: jax.Array, ctx: jax.Array, image_uids) -> jax.Array:
+        """latents [B,h,w,C], ctx [B,n_cond,L,D] (or [n_cond,L,D] shared),
+        image_uids: int sequence of length B. Returns [B,N,n_cond,h,w,C] fp16."""
+        B = latents.shape[0]
+        if ctx.ndim == 3:
+            ctx = jnp.broadcast_to(ctx[None], (B,) + ctx.shape)
+        keys = jnp.stack([self.image_key(int(u)) for u in image_uids])
+        t_lo = int(self.t_min * self.schedule.num_train_timesteps)
+        t_hi = max(int(self.t_max * self.schedule.num_train_timesteps), t_lo + 1)
+        return sweep_losses(
+            self._eps_fn,
+            self.unet_params,
+            self.schedule,
+            latents.astype(self.dtype),
+            ctx,
+            keys,
+            self.n_samples,
+            self.chunk,
+            t_lo,
+            t_hi,
+        )
+
+
+def losses_to_reference_layout(losses: jax.Array) -> np.ndarray:
+    """[N, n_cond, h, w, C] (one image, NHWC) -> reference .npy layout
+    [N, n_cond, C, h, w] fp16 (compute.py:158-160)."""
+    arr = np.asarray(losses)
+    return np.ascontiguousarray(arr.transpose(0, 1, 4, 2, 3)).astype(np.float16)
+
+
+def reference_layout_to_losses(arr: np.ndarray) -> np.ndarray:
+    """Inverse: [N, n_cond, C, h, w] -> [N, n_cond, h, w, C]."""
+    return np.ascontiguousarray(arr.transpose(0, 1, 3, 4, 2))

@@ -79,7 +79,7 @@ _UNET_NORM = re.compile(r"(norm|norm1|norm2|norm3|conv_norm_out|group_norm)$")
 
 def _unet_rename(torch_name: str) -> Tuple[str, ...]:
     """diffusers UNet param name → our flax module path (without leaf)."""
-    n = torch_name
+    n = torch_name + "."  # sentinel so suffix replacements match at end-of-path
     n = re.sub(r"^time_embedding\.", "time_embedding.", n)
     n = re.sub(r"^down_blocks\.(\d+)\.resnets\.(\d+)\.", r"down_\1_res_\2.", n)
     n = re.sub(r"^down_blocks\.(\d+)\.attentions\.(\d+)\.", r"down_\1_tf_\2.", n)
@@ -94,7 +94,7 @@ def _unet_rename(torch_name: str) -> Tuple[str, ...]:
     n = n.replace("to_out.0.", "to_out_0.")
     n = n.replace("ff.net.0.proj.", "ff.net_0_proj.")
     n = n.replace("ff.net.2.", "ff.net_2.")
-    return tuple(n.split("."))
+    return tuple(n.rstrip(".").split("."))
 
 
 def convert_unet(tensors: Tensors) -> Dict[str, Any]:
@@ -121,7 +121,7 @@ def convert_unet(tensors: Tensors) -> Dict[str, Any]:
 
 
 def _vae_rename(torch_name: str) -> Tuple[str, ...]:
-    n = torch_name
+    n = torch_name + "."  # sentinel so suffix replacements match at end-of-path
     n = re.sub(r"^(encoder|decoder)\.down_blocks\.(\d+)\.resnets\.(\d+)\.", r"\1.down_\2_res_\3.", n)
     n = re.sub(r"^(encoder|decoder)\.down_blocks\.(\d+)\.downsamplers\.0\.conv\.", r"\1.down_\2_downsample.", n)
     n = re.sub(r"^(encoder|decoder)\.up_blocks\.(\d+)\.resnets\.(\d+)\.", r"\1.up_\2_res_\3.", n)
@@ -132,7 +132,7 @@ def _vae_rename(torch_name: str) -> Tuple[str, ...]:
     n = n.replace(".query.", ".to_q.").replace(".key.", ".to_k.").replace(".value.", ".to_v.")
     n = n.replace(".proj_attn.", ".to_out_0.")
     n = n.replace(".to_out.0.", ".to_out_0.")
-    return tuple(n.split("."))
+    return tuple(n.rstrip(".").split("."))
 
 
 def convert_vae(tensors: Tensors) -> Dict[str, Any]:
