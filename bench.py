@@ -23,7 +23,11 @@ import jax.numpy as jnp
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
-def build(batch: int, dtype=jnp.bfloat16):
+def build(batch: int, iters: int, dtype=jnp.bfloat16):
+    """The timing loop lives INSIDE the jit (lax.fori_loop chaining the eps
+    output back into the input) with a single scalar host fetch at the end:
+    the axon relay's `block_until_ready` is a no-op and every host sync pays a
+    ~200 ms tunnel round-trip, so external per-iteration timing is meaningless."""
     from diffmining_tpu.models.unet import SD15_UNET, UNet2DCondition
 
     unet = UNet2DCondition(SD15_UNET, dtype=dtype)
@@ -31,19 +35,28 @@ def build(batch: int, dtype=jnp.bfloat16):
     t = jnp.zeros((batch,), jnp.int32)
     ctx = jnp.zeros((batch, 77, 768), dtype)
     params = unet.init(jax.random.PRNGKey(0), latents[:1], t[:1], ctx[:1])
-    fn = jax.jit(lambda p, x, tt, c: unet.apply(p, x, tt, c))
-    return fn, params, latents, t, ctx
+
+    @jax.jit
+    def loop(p, x, tt, c):
+        def body(i, xx):
+            eps = unet.apply(p, xx, tt, c)
+            return (eps * 0.01).astype(xx.dtype)  # chain dependency
+
+        out = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.float32(out[0, 0, 0, 0])
+
+    return loop, params, latents, t, ctx
 
 
 def measure(batch: int, iters: int, warmup: int, dtype=jnp.bfloat16) -> float:
-    fn, params, latents, t, ctx = build(batch, dtype)
-    for _ in range(warmup):
-        fn(params, latents, t, ctx).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, latents, t, ctx)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    fn, params, latents, t, ctx = build(batch, iters, dtype)
+    _ = float(fn(params, latents, t, ctx))  # compile + warm
+    times = []
+    for _ in range(max(warmup, 1)):
+        t0 = time.perf_counter()
+        _ = float(fn(params, latents, t, ctx))  # one RTT per call
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     return batch * iters / dt
 
 

@@ -1,0 +1,247 @@
+"""Plug-and-Play cross-label translation, functional (TPU) edition.
+
+Rebuild of the reference's PnP pipeline (reference: diffmining/applications/
+parallel-dataset/pnp.py). Semantics preserved:
+
+  * DDIM inversion of the VAE posterior MEAN (×0.18215) over 999 steps with
+    the (empty) inversion prompt, storing the full latent trajectory
+    (pnp.py:157-180; `uncond_ignore=True` in the main, so inversion uses "").
+  * 50-step DDIM sampling with CFG 7.5 where the source image's activations
+    are injected: resnet residual branches of up_blocks {1:[1]} for the first
+    80% of steps, self-attention q/k of up_blocks {1:[1,2],2:[0,1,2],3:[0,1,2]}
+    for the first 50% (pnp.py:480-487,560-569, rbf/rbg at 628-631).
+  * Output files gt--/inverted--/projected--{c}_/{c}_ per source image
+    (pnp.py:605-627).
+
+Architecture difference (the TPU-first fix): the reference tiles the source
+latent B+2B times into one batch and monkey-patches module forwards to copy
+activations across batch entries at matching timesteps. Here the source pass
+runs ONCE per step collecting taps (explicit `collect_injection`), and the
+[uncond, cond] batch consumes them via the UNet's `injection` argument — no
+module mutation, one less redundant source replica per target, jit-safe.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from os.path import join
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from diffmining_tpu.diffusion.sampling import ddim_inversion
+from diffmining_tpu.diffusion.schedule import ddim_step, ddim_timesteps
+from diffmining_tpu.models.vae import AutoencoderKL
+from diffmining_tpu.typicality.compute import SD
+from diffmining_tpu.utils.images import array_to_image, image_to_array
+
+# injection site tables (reference pnp.py:628-631)
+RBF = {1: [1]}  # resnet residual-branch injections
+RBG = {1: [1, 2], 2: [0, 1, 2], 3: [0, 1, 2]}  # self-attn q/k injections
+
+CONF = dict(seed=1, guidance_scale=7.5, n_timesteps=50, pnp_attn_t=0.5, pnp_f_t=0.8)
+
+
+def _res_keys() -> List[str]:
+    return [f"up.{r}.res.{b}" for r, blocks in RBF.items() for b in blocks]
+
+
+def _attn_keys() -> List[str]:
+    out = []
+    for r, blocks in RBG.items():
+        for b in blocks:
+            out += [f"up.{r}.tf.{b}.0.attn1.q", f"up.{r}.tf.{b}.0.attn1.k"]
+    return out
+
+
+class PNP:
+    """Per-source-image translator. Build once per source, call
+    `generate(target_prompts)` repeatedly (reference Generator/PNP classes)."""
+
+    def __init__(self, sd: SD, inversion_steps: int = 999, n_timesteps: int = 50,
+                 guidance_scale: float = 7.5, pnp_attn_t: float = 0.5, pnp_f_t: float = 0.8):
+        self.sd = sd
+        self.inversion_steps = inversion_steps
+        self.n_timesteps = n_timesteps
+        self.guidance_scale = guidance_scale
+        self.pnp_attn_t = pnp_attn_t
+        self.pnp_f_t = pnp_f_t
+        self._eps_fn = jax.jit(lambda p, x, t, c: sd.unet.apply(p, x.astype(sd.dtype), t, c.astype(sd.dtype)))
+        # injection dicts are pytree args: one trace per distinct key-set
+        # (both res+attn, res-only, none — 3 traces over the 50-step loop)
+        self._apply_inj = jax.jit(
+            lambda p, x, t, c, inj: sd.unet.apply(
+                p, x, t, c.astype(sd.dtype), injection=inj
+            )
+        )
+        self._invert = jax.jit(
+            lambda p, lat, ctx: ddim_inversion(self._eps_fn, p, sd.schedule, lat, ctx, num_steps=inversion_steps)
+        )
+        self._collect = None  # built lazily (needs static tap keys)
+        self._source_latent = None
+        self._trajectory = None
+
+    # ------------------------------------------------------------------
+
+    def embed(self, prompts: Sequence[str]) -> jax.Array:
+        ids = jnp.asarray(self.sd.tokenizer(list(prompts)))
+        return self.sd.clip.apply(self.sd.clip_params, ids).astype(jnp.float32)
+
+    def encode_image_mean(self, img_array: np.ndarray) -> jax.Array:
+        """VAE posterior MEAN × scaling (reference pnp.py:150-155 — PnP uses
+        the mean, not a sample, so inversion is deterministic)."""
+        mean, _ = self.sd.vae.apply(self.sd.vae_params, jnp.asarray(img_array)[None].astype(self.sd.dtype))
+        return (mean.astype(jnp.float32) * self.sd.vae.config.scaling_factor)
+
+    def invert(self, img_array: np.ndarray, inversion_prompt: str = "") -> None:
+        """Run the 999-step inversion and cache the trajectory."""
+        lat = self.encode_image_mean(img_array)
+        ctx = self.embed([inversion_prompt])
+        x_T, traj = self._invert(self.sd.unet_params, lat.astype(self.sd.dtype), ctx)
+        self._source_latent = x_T  # noised endpoint, the sampler's x_init
+        self._trajectory = traj  # traj[i] = x_{t=i+1}
+        self._clean_latent = lat
+
+    def reconstruct(self) -> Image.Image:
+        """Sample back from the inversion endpoint with the inversion prompt
+        (reference 'inverted--' image, pnp.py:214-216)."""
+        assert self._source_latent is not None
+        # plain DDIM chain back down all inversion steps (no CFG)
+        ctx = self.embed([""])
+        x = self._source_latent
+        sched = self.sd.schedule
+        ts = np.arange(self.inversion_steps, 0, -1, dtype=np.int32)
+
+        def step(x, tt):
+            t, t_prev = tt
+            eps = self._eps_fn(self.sd.unet_params, x, jnp.broadcast_to(t, (x.shape[0],)), ctx)
+            return ddim_step(sched, x, eps, t, t_prev), None
+
+        ts_j = jnp.asarray(ts)
+        ts_prev = jnp.concatenate([ts_j[1:], jnp.asarray([-1], jnp.int32)])
+        x, _ = jax.lax.scan(step, x, (ts_j, ts_prev))
+        img = self.sd.vae.apply(self.sd.vae_params, x.astype(self.sd.dtype), method=AutoencoderKL.decode)
+        return array_to_image(np.asarray(img[0], np.float32))
+
+    # ------------------------------------------------------------------
+
+    def _source_taps_fn(self):
+        if self._collect is None:
+            sd = self.sd
+
+            @jax.jit
+            def run(params, x, t, ctx):
+                out = sd.unet.apply(
+                    params, x.astype(sd.dtype), t, ctx.astype(sd.dtype), collect_injection=True
+                )
+                keys = set(_res_keys() + _attn_keys())
+                return {k: v for k, v in out["taps"].items() if k in keys}
+
+            self._collect = run
+        return self._collect
+
+    def generate(self, target_prompts: Sequence[str], uncond_prompt: str = "") -> List[Image.Image]:
+        """Translate the inverted source to each target prompt."""
+        assert self._trajectory is not None, "call invert() first"
+        sd = self.sd
+        B = len(target_prompts)
+        cond = self.embed(list(target_prompts))
+        uncond = jnp.broadcast_to(self.embed([uncond_prompt]), cond.shape)
+        ctx = jnp.concatenate([uncond, cond], axis=0)  # [2B, 77, D]
+
+        ts = ddim_timesteps(self.n_timesteps, sd.schedule.num_train_timesteps)
+        n_f = int(self.n_timesteps * self.pnp_f_t)
+        n_attn = int(self.n_timesteps * self.pnp_attn_t)
+        taps_fn = self._source_taps_fn()
+
+        x = jnp.concatenate([self._source_latent] * B, axis=0).astype(sd.dtype)
+        src_ctx = self.embed([uncond_prompt])
+        for i, t in enumerate(ts):
+            t_prev = ts[i + 1] if i + 1 < len(ts) else -1
+            src_lat = self._trajectory[int(t) - 1]  # x_t of the source
+            taps = taps_fn(sd.unet_params, src_lat, jnp.asarray([t]), src_ctx)
+            inj: Dict[str, jax.Array] = {}
+            if i < n_f:
+                inj.update({k: taps[k] for k in _res_keys() if k in taps})
+            if i < n_attn:
+                inj.update({k: taps[k] for k in _attn_keys() if k in taps})
+            xx = jnp.concatenate([x, x], axis=0)
+            tb = jnp.full((2 * B,), t, jnp.int32)
+            eps = self._apply_inj(sd.unet_params, xx, tb, ctx, inj)
+            eps_u, eps_c = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+            eps_g = eps_u + self.guidance_scale * (eps_c - eps_u)
+            x = ddim_step(sd.schedule, x, eps_g.astype(x.dtype), jnp.asarray(t), jnp.asarray(t_prev))
+        imgs = sd.vae.apply(sd.vae_params, x, method=AutoencoderKL.decode)
+        return [array_to_image(np.asarray(imgs[b], np.float32)) for b in range(B)]
+
+
+class Generator:
+    """Filesystem protocol around PNP (reference Generator/plotum,
+    pnp.py:580-627): writes gt--, inverted--, projected--/{c}_ files."""
+
+    def __init__(self, sd: SD, image_path: str, inversion_steps: int = 999, n_timesteps: int = 50):
+        self.sd = sd
+        self.image_path = image_path
+        self.country = os.path.split(os.path.split(image_path)[0])[1]
+        self.pre_head = "_".join(os.path.split(image_path)[-1].split("_")[1:])
+        self.pil = Image.open(image_path).convert("RGB")
+        self.arr = image_to_array(self.pil)
+        self.pnp = PNP(sd, inversion_steps=inversion_steps, n_timesteps=n_timesteps)
+        self.pnp.invert(self.arr, inversion_prompt="")
+
+    def plotum(self, dir_path: str, countries: Sequence[str], batch_size: int = 10,
+               format_text: Callable[[str], str] = "{}".format) -> None:
+        os.makedirs(dir_path, exist_ok=True)
+        self.pil.save(join(dir_path, f"gt--{self.country}_{self.pre_head}"))
+        self.pnp.reconstruct().save(join(dir_path, f"inverted--{self.country}_{self.pre_head}"))
+        for i in range(0, len(countries), batch_size):
+            batch = list(countries[i : i + batch_size])
+            images = self.pnp.generate([format_text(c) for c in batch])
+            for c, image in zip(batch, images):
+                name = f"projected--{c}_{self.pre_head}" if c == self.country else f"{c}_{self.pre_head}"
+                image.save(join(dir_path, name))
+
+
+COUNTRIES = [
+    "United States", "Japan", "France", "Italy", "United Kingdom",
+    "Brazil", "Russia", "Thailand", "Nigeria", "India",
+]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="PnP translation (reference pnp.py CLI)")
+    p.add_argument("--idx_start", type=int, default=0)
+    p.add_argument("--k_start", type=int, default=0)
+    p.add_argument("--k_end", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=10)
+    p.add_argument("--save_dir", type=str, default="dataset/parallel")
+    p.add_argument("--model_path", type=str, default="models/export")
+    p.add_argument("--base_path", type=str, default="dataset/base")
+    p.add_argument("--inversion_steps", type=int, default=999)
+    args = p.parse_args(argv)
+
+    sd = SD.from_pipeline_dir("geo", args.model_path, [])
+    for country in COUNTRIES[args.idx_start : args.idx_start + 1]:
+        path = join(args.base_path, country)
+        for fname in sorted(os.listdir(path))[args.k_start : args.k_end]:
+            image_path = join(path, fname)
+            dir_path = join(args.save_dir, country)
+            pre_head = "_".join(fname.split("_")[1:])
+            expected = [
+                join(dir_path, f"inverted--{country}_{pre_head}"),
+                join(dir_path, f"gt--{country}_{pre_head}"),
+            ] + [
+                join(dir_path, (f"projected--{c}_{pre_head}" if c == country else f"{c}_{pre_head}"))
+                for c in COUNTRIES
+            ]
+            if all(os.path.isfile(pp) for pp in expected):
+                continue  # idempotent work queue (reference pnp.py:655-669)
+            g = Generator(sd, image_path, inversion_steps=args.inversion_steps)
+            g.plotum(dir_path, COUNTRIES, batch_size=args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

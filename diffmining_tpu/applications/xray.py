@@ -1,0 +1,231 @@
+"""X-ray disease localization: typicality maps vs GT bounding boxes.
+
+Rebuild of the reference eval (reference: diffmining/applications/xray/
+compute.py). Semantics preserved:
+
+  * diseases = 8 NIH ChestX-ray14 classes (compute.py:423);
+  * per image: N=100 (eps,t) draws over the FULL t range, conditions
+    [disease, ""] — the pixel map is mean[L_null − L_disease] upsampled to the
+    image (compute.py:210-218), optionally Gaussian-blurred (σ=32, kernel 127);
+  * GT boxes from BBox_List_2017.csv with coordinates halved (compute.py:186);
+  * metrics: mean typicality inside the box (dm[y1:y2, x1:x2]) and AUC-PR over
+    1000 log-spaced thresholds 2·10^-linspace(2,7) via trapezoid integration
+    (compute.py:263-284) → report.json / auc.json;
+  * compare_json_files prints the pre/post-finetune table (compute.py:350-389).
+
+The loss sweep reuses the shared TypicalityEngine (batched/jitted); pixel maps
+are cached as `{name}_loss_pixel.npy` exactly like the reference.
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import random
+from collections import defaultdict
+from os.path import join
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from diffmining_tpu.ops.pool import pixel_typicality_map
+from diffmining_tpu.typicality.compute import SD
+from diffmining_tpu.typicality.engine import TypicalityEngine, losses_to_reference_layout
+from diffmining_tpu.utils.images import image_to_array, image_uid
+
+DISEASES = [
+    "Atelectasis", "Cardiomegaly", "Effusion", "Infiltrate",
+    "Mass", "Nodule", "Pneumonia", "Pneumothorax",
+]
+
+
+def xray_prompt(c: str) -> str:
+    """reference compute.py:55: 'Chest X-Ray with {c}.' / base 'Chest X-Ray'."""
+    return f"Chest X-Ray with {c}." if len(c) else "Chest X-Ray"
+
+
+def gaussian_blur(dm: np.ndarray, sigma: float = 32.0, ksize: int = 127) -> np.ndarray:
+    """Separable Gaussian blur (reference uses torchvision GaussianBlur(127, 32))."""
+    r = ksize // 2
+    xs = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(xs**2) / (2 * sigma**2))
+    k /= k.sum()
+    pad = np.pad(dm, ((r, r), (r, r)), mode="reflect")
+    out = np.apply_along_axis(lambda row: np.convolve(row, k, mode="valid"), 1, pad)
+    out = np.apply_along_axis(lambda col: np.convolve(col, k, mode="valid"), 0, out)
+    return out.astype(dm.dtype)
+
+
+def mean_typicality(bbox: Tuple[int, int, int, int], dm: np.ndarray) -> float:
+    """bbox in (x1, y1, x2, y2) image coords; dm indexed [y, x]
+    (reference compute.py:263-264)."""
+    x1, y1, x2, y2 = bbox
+    return float(dm[y1:y2, x1:x2].mean())
+
+
+def aucpr(bbox: Tuple[int, int, int, int], dm: np.ndarray) -> float:
+    """AUC-PR over 1000 log-spaced thresholds (reference compute.py:266-284)."""
+    thresholds = 2 * 10 ** (-np.linspace(2, 7, 1000))
+    x = np.zeros_like(dm)
+    x1, y1, x2, y2 = bbox
+    x[y1:y2, x1:x2] = 1
+    dm_f, x_f = dm.flatten(), x.flatten()
+    tp = np.sum(dm_f[x_f == 1] > thresholds[:, None], axis=1)
+    fp = np.sum(dm_f[x_f == 0] > thresholds[:, None], axis=1)
+    denom = tp + fp
+    precision = np.where(denom > 0, tp / np.maximum(denom, 1), 0)
+    recall = tp / max(x.sum(), 1)
+    return float(np.trapezoid(precision, recall))
+
+
+def load_paths(gt_path: str, diseases: Sequence[str], seed: int = 42):
+    """metadata.csv + BBox_List_2017.csv (boxes halved), grouped per disease
+    (reference compute.py:170-205)."""
+    labels: Dict[str, str] = {}
+    with open(join(gt_path, "metadata.csv")) as f:
+        for row in csv.DictReader(f):
+            name = row.get("Image Index") or row.get("fname")
+            labels[name] = row.get("Finding Labels") or row.get("label", "")
+
+    bbox: Dict[Tuple[str, str], Tuple[int, int, int, int]] = {}
+    with open(join(gt_path, "BBox_List_2017.csv")) as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        for row in reader:
+            if len(row) < 6 or not row[0]:
+                continue
+            fname, label = row[0], row[1]
+            x, y, w, h = (float(v) for v in row[2:6])
+            bbox[(fname, label)] = tuple(int(v / 2) for v in (x, y, x + w, y + h))
+
+    parent: Dict[str, List[Tuple[str, Tuple[int, int, int, int]]]] = defaultdict(list)
+    tmp: Dict[str, List] = defaultdict(list)
+    for (fname, label), bb in bbox.items():
+        if fname not in labels:
+            continue
+        all_diseases = labels[fname].split("|")
+        for disease in diseases:
+            if disease == label and disease in all_diseases:
+                tmp[disease].append((join(gt_path, "images", fname), all_diseases, bb))
+    rng = random.Random(seed)
+    for k, v in tmp.items():
+        v = sorted(v, key=lambda x: (len(x[1]), rng.random()))
+        parent[k] = [(a, c) for a, _, c in v]
+    return parent
+
+
+class XRayTypicality:
+    def __init__(self, sd: SD, gt_path: str, output_path: str, diseases: Sequence[str] = DISEASES,
+                 seed: int = 42, N: int = 100, blur: bool = False):
+        self.sd = sd
+        self.output_path = output_path
+        self.diseases = sorted(diseases)
+        self.seed = seed
+        self.N = N
+        self.blur = blur
+        self.parent = load_paths(gt_path, self.diseases, seed)
+        self.engine = TypicalityEngine(
+            unet=sd.unet, unet_params=sd.unet_params, schedule=sd.schedule,
+            seed=seed, n_samples=N, t_min=0.0, t_max=1.0, dtype=sd.dtype,
+        )
+        # embeddings: [disease..., "no finding", ""] all embedded once
+        from diffmining_tpu.models.tokenizer import CLIPTokenizer  # noqa: F401
+
+        prompts = [xray_prompt(c) for c in ["no finding", ""] + self.diseases]
+        ids = jnp.asarray(sd.tokenizer(prompts))
+        cf = np.asarray(sd.clip.apply(sd.clip_params, ids).astype(jnp.float32))
+        names = ["no finding", ""] + self.diseases
+        self.embeds = {c: cf[i] for i, c in enumerate(names)}
+
+    def pixel_map(self, disease: str, path: str) -> np.ndarray:
+        img = Image.open(path).convert("RGB")
+        arr = image_to_array(img)
+        uid = image_uid(path)
+        lat = self.sd.encode_vae_per_image(
+            jnp.asarray(arr)[None],
+            jnp.stack([jax.random.fold_in(jax.random.PRNGKey(self.seed), uid)]),
+        )
+        ctx = jnp.asarray(np.stack([self.embeds[disease], self.embeds[""]]))[None]
+        losses = self.engine.compute(lat, ctx, [uid])[0]  # [N, 2, h, w, C]
+        grid = losses_to_reference_layout(losses)  # [N, 2, C, h, w]
+        w, h = img.size
+        dm = np.asarray(pixel_typicality_map(jnp.asarray(grid), h, w))
+        if self.blur:
+            dm = gaussian_blur(dm)
+        return dm
+
+    def main(self) -> Tuple[Dict, Dict]:
+        report, auc = {}, {}
+        for disease in self.diseases:
+            report[disease], auc[disease] = {}, {}
+            typ_dir = join(self.output_path, disease, "typicality")
+            os.makedirs(typ_dir, exist_ok=True)
+            for fpath, bbox in self.parent[disease]:
+                name = os.path.splitext(os.path.split(fpath)[-1])[0]
+                cache = join(typ_dir, f"{name}_loss_pixel.npy")
+                if os.path.isfile(cache):
+                    dm = np.load(cache)
+                else:
+                    dm = self.pixel_map(disease, fpath)
+                    np.save(cache, dm)
+                key = os.path.split(fpath)[-1]
+                report[disease][key] = mean_typicality(bbox, dm)
+                auc[disease][key] = aucpr(bbox, dm)
+            if not report[disease]:
+                del report[disease]
+                del auc[disease]
+        with open(join(self.output_path, "report.json"), "w") as f:
+            json.dump(report, f, indent=4)
+        with open(join(self.output_path, "auc.json"), "w") as f:
+            json.dump(auc, f, indent=4)
+        return report, auc
+
+
+def compare_json_files(json_pt: str, json_ft: str) -> Dict[str, float]:
+    """Pre- vs post-finetune comparison table (reference compute.py:350-389);
+    returns {disease: mean AUC improvement}."""
+    with open(join(json_pt, "auc.json")) as f:
+        data_pt = json.load(f)
+    with open(join(json_ft, "auc.json")) as f:
+        data_ft = json.load(f)
+    out = {}
+    print("AUC\n----------")
+    for k, vs in data_pt.items():
+        ft_vals = [data_ft[k][kp] for kp in vs]
+        pt_vals = [data_pt[k][kp] for kp in vs]
+        print("ft", k, np.mean(ft_vals), "±", np.std(ft_vals))
+        print("pt", k, np.mean(pt_vals), "±", np.std(pt_vals))
+        out[k] = float(np.mean([f - p for f, p in zip(ft_vals, pt_vals)]))
+        print(k, out[k])
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="X-ray localization eval (reference xray/compute.py CLI)")
+    p.add_argument("-i", "--gt_path", default="dataset/CXR8")
+    p.add_argument("-o", "--output_path", default="results/ct")
+    p.add_argument("-m", "--model_path", default="models/CXR8")
+    p.add_argument("--N", type=int, default=100)
+    p.add_argument("--blur", action="store_true")
+    p.add_argument("--compare", nargs=2, default=None, metavar=("PT", "FT"))
+    args = p.parse_args(argv)
+
+    if args.compare:
+        compare_json_files(*args.compare)
+        return
+
+    model_path = args.model_path
+    if not os.path.isfile(join(model_path, "model_index.json")):
+        from diffmining_tpu.finetuning.export import export_model
+
+        model_path = export_model("xray", model_path)
+    sd = SD.from_pipeline_dir("xray", model_path, [])
+    XRayTypicality(sd, args.gt_path, args.output_path, DISEASES, N=args.N, blur=args.blur).main()
+
+
+if __name__ == "__main__":
+    main()

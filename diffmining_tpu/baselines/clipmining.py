@@ -1,0 +1,237 @@
+"""CLIP patch-ranking baseline (reference: clipmining/ranking.py).
+
+StreetCLIP vision tokens projected through visual_projection are scored
+against [country, ""] text embeddings; the softmax-diff (or raw-sim) score map
+is upsampled to the image, 64×64 box-pooled, top-k non-overlap patches are
+mined and clustered with k-means(32) ranked by median score — all the same
+constants as the reference. Compute is jitted JAX: the vision tower runs once
+per image, scoring/pooling/suppression reuse ops/pool.
+
+The 336px center-crop limitation of the reference (learned positional
+embeddings; clipmining/README.md) applies to our ViT too — images are
+center-cropped to `crop` (default 512 as the reference does, with position
+embeddings interpolated when the grid differs).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+from collections import defaultdict
+from os.path import join
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from diffmining_tpu.models.clip import (
+    CLIPTextConfig,
+    CLIPTextModelWithProjection,
+    CLIPVisionConfig,
+    CLIPVisionModel,
+)
+from diffmining_tpu.models.tokenizer import CLIPTokenizer, tiny_tokenizer
+from diffmining_tpu.ops.kmeans import KMeans
+from diffmining_tpu.ops.pool import box_pool, top_patches, upsample_bilinear
+from diffmining_tpu.utils.figures import make_grid
+
+PATCH_COLUMNS = ["seed", "x_start", "y_start", "x_end", "y_end", "D"]
+
+# CLIP normalization constants (processor means/stds)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+
+
+def center_crop(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    left, top = max(0, (w - size) // 2), max(0, (h - size) // 2)
+    return img.crop((left, top, left + size, top + size))
+
+
+class CLIPRankCluster:
+    def __init__(
+        self,
+        dataset_path: str,
+        cache_path: str = "clip",
+        mode: str = "diff",
+        vision: Optional[CLIPVisionModel] = None,
+        vision_params=None,
+        text: Optional[CLIPTextModelWithProjection] = None,
+        text_params=None,
+        tokenizer: Optional[CLIPTokenizer] = None,
+        crop: int = 512,
+    ):
+        assert mode in ("diff", "sim")
+        self.mode = mode
+        self.crop = crop
+        self.dataset_path = dataset_path
+        self.cache_path = join(cache_path, mode)
+        self.load_paths_geo(dataset_path)
+        self.vision = vision if vision is not None else CLIPVisionModel()
+        self.vision_params = vision_params
+        self.text = text if text is not None else CLIPTextModelWithProjection()
+        self.text_params = text_params
+        self.tokenizer = tokenizer if tokenizer is not None else tiny_tokenizer(
+            self.text.config.vocab_size
+        )
+        self._vis_fn = jax.jit(lambda p, x: self.vision.apply(p, x))
+        self._txt_fn = jax.jit(lambda p, ids: self.text.apply(p, ids))
+
+    # --- dataset protocol (same as typicality geo loader) ---
+
+    def load_paths_geo(self, dataset_path: str) -> None:
+        self.parent = {}
+        self.country_path = defaultdict(list)
+        for country_parent in sorted(os.listdir(dataset_path)):
+            output_dir = join(dataset_path, country_parent)
+            if not os.path.isdir(output_dir):
+                continue
+            for seed in sorted(os.listdir(output_dir)):
+                country = seed.split("__")[0]
+                if country.startswith("gt--"):
+                    self.country_path[country.replace("gt--", "")].append((join(output_dir, seed), True))
+                elif "--" not in country:
+                    self.country_path[country].append((join(output_dir, seed), False))
+            self.parent[country_parent] = True
+
+    def categories(self) -> List[str]:
+        return sorted(self.parent.keys())
+
+    def get_seeds(self, c: str) -> List[str]:
+        return [p for p, is_gt in self.country_path[c] if is_gt]
+
+    # --- encode ---
+
+    def load_image(self, path: str) -> Image.Image:
+        return center_crop(Image.open(path).convert("RGB"), self.crop)
+
+    def _preprocess(self, img: Image.Image) -> np.ndarray:
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        return (arr - CLIP_MEAN) / CLIP_STD
+
+    def project_image(self, img: Image.Image) -> Tuple[np.ndarray, int]:
+        """-> (patch tokens through visual_projection [P, D], patch grid width)."""
+        x = jnp.asarray(self._preprocess(img))[None]
+        _, tokens = self._vis_fn(self.vision_params, x)
+        pw = img.width // self.vision.config.patch_size
+        return np.asarray(tokens[0], np.float32), pw
+
+    def project_text(self, prompts: Sequence[str]) -> np.ndarray:
+        ids = jnp.asarray(self.tokenizer(list(prompts)))
+        _, pooled = self._txt_fn(self.text_params, ids)
+        pooled = np.asarray(pooled, np.float32)
+        return pooled / np.linalg.norm(pooled, axis=-1, keepdims=True)
+
+    # --- scoring (reference dot_text_image) ---
+
+    def score_map(self, tokens: np.ndarray, pw: int, text_embeds: np.ndarray, size: Tuple[int, int],
+                  kx: int = 64, ky: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (pooled score map, upsampled token features [D, H, W])."""
+        tok = tokens / np.linalg.norm(tokens, axis=-1, keepdims=True)
+        scores = tok @ text_embeds.T  # [P, 2]
+        ph = tokens.shape[0] // pw
+        scores_2d = scores.reshape(ph, pw, 2)
+        up = np.asarray(upsample_bilinear(jnp.asarray(scores_2d.transpose(2, 0, 1)), *size))  # [2,H,W]
+        if self.mode == "diff":
+            # softmax over [country, ""] then country channel, pooled diff
+            e = np.exp(up - up.max(axis=0, keepdims=True))
+            soft = e / e.sum(axis=0, keepdims=True)
+            pooled = np.asarray(box_pool(jnp.asarray(soft[0])[None], kx, ky))[0] - np.asarray(
+                box_pool(jnp.asarray(soft[1])[None], kx, ky)
+            )[0]
+        else:
+            pooled = np.asarray(box_pool(jnp.asarray(up[0])[None], kx, ky))[0]
+        feats = np.asarray(
+            upsample_bilinear(jnp.asarray(tokens.T.reshape(-1, ph, pw)), *size)
+        )  # [D, H, W]
+        return pooled, feats
+
+    def rank(self, country: str, k_per_image: int = 5, kx: int = 64, ky: int = 64):
+        text_embeds = self.project_text([country, ""])
+        rows, embeds = [], []
+        for path in self.get_seeds(country):
+            img = self.load_image(path)
+            tokens, pw = self.project_image(img)
+            pooled, feats = self.score_map(tokens, pw, text_embeds, (img.height, img.width), kx, ky)
+            boxes, scores = top_patches(pooled, kx, ky, k_per_image)
+            for (x0, y0, x1, y1), s in zip(boxes, scores):
+                rows.append((path, x0, y0, x1, y1, float(s)))
+                crop = feats[:, x0:x1, y0:y1].reshape(feats.shape[0], -1).mean(axis=1)
+                embeds.append(crop / max(np.linalg.norm(crop), 1e-12))
+        return pd.DataFrame(rows, columns=PATCH_COLUMNS), embeds
+
+    # --- clustering (same constants as reference) ---
+
+    def cluster(self, df: pd.DataFrame, embeds, num_clusters: int = 32):
+        km = KMeans(n_clusters=num_clusters, random_state=10).fit(np.stack(embeds))
+        clusters = defaultdict(list)
+        for i, l in enumerate(km.labels_):
+            row = df.iloc[i]
+            x0, y0, x1, y1 = (int(row[c]) for c in ["x_start", "y_start", "x_end", "y_end"])
+            pil = self.load_image(row["seed"]).crop((y0, x0, y1, x1))
+            name = os.path.split(row["seed"])[1]
+            idd = os.path.splitext(name)[0] + f"_{x0}-{y0}-{x1}-{y1}"
+            clusters[int(l)].append((pil, row["D"], idd, embeds[i], row["seed"]))
+        ranked = []
+        for k, vs in clusters.items():
+            vs = sorted(vs, key=lambda v: float(np.linalg.norm(v[3] - km.cluster_centers_[k])))
+            ranked.append(([(a, b, c, e) for a, b, c, d, e in vs], float(np.median([v[1] for v in vs]))))
+        return sorted(ranked, key=lambda kv: kv[1], reverse=True)
+
+    def clustering(self, k_per_image: int = 5, k: int = 1000, num_clusters: int = 32, hard_limit: int = 6):
+        cache_path = join(self.cache_path, "dfs")
+        figure_dir = join(self.cache_path, "figures")
+        os.makedirs(cache_path, exist_ok=True)
+        os.makedirs(figure_dir, exist_ok=True)
+        results = {}
+        for country in self.categories():
+            fp = join(cache_path, country + ".pkl")
+            if os.path.isfile(fp):
+                with open(fp, "rb") as f:
+                    df, embeds = pickle.load(f)
+            else:
+                df, embeds = self.rank(country, k_per_image=k_per_image)
+                with open(fp, "wb") as f:
+                    pickle.dump((df, embeds), f)
+
+            order = np.argsort(-df["D"].to_numpy(), kind="stable")[:k]
+            df_top = df.iloc[order].reset_index(drop=True)
+            embs = [embeds[i] for i in order]
+            clusters = self.cluster(df_top, embs, num_clusters=num_clusters)
+            results[country] = clusters
+
+            parent_ = join(self.cache_path, "images", "clusters", country)
+            os.makedirs(parent_, exist_ok=True)
+            grid = []
+            for i, (members, _score) in enumerate(clusters):
+                row_imgs = []
+                for j, (pil, _d, idd, _p) in enumerate(members):
+                    pil.save(join(parent_, f"{i}-{j}-{num_clusters}_{idd}.png"))
+                    if j < hard_limit:
+                        row_imgs.append(pil.convert("RGB"))
+                if row_imgs:
+                    grid.append(row_imgs)
+            if grid:
+                make_grid(grid, 2, 4).save(join(figure_dir, f"{country}.png"))
+        return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="CLIP patch-ranking baseline (reference clipmining CLI)")
+    p.add_argument("--dataset", type=str, required=True)
+    p.add_argument("--cache", type=str, default="clip")
+    p.add_argument("--mode", type=str, default="diff", choices=["diff", "sim"])
+    p.add_argument("--clip_dir", type=str, default=None,
+                   help="dir with converted StreetCLIP weights (vision+text safetensors)")
+    args = p.parse_args(argv)
+    rc = CLIPRankCluster(args.dataset, args.cache, args.mode)
+    if args.clip_dir:
+        raise NotImplementedError("load converted CLIP weights via utils/weights.py (convert_clip_*)")
+    rc.clustering(k_per_image=5, k=1000, num_clusters=32, hard_limit=6)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,7 +88,14 @@ class BaseTrainer:
         self.which = which
         self.args = args
         self.spec = DOMAINS[which]
-        self.mesh = mesh if mesh is not None else make_mesh(dp=args.mesh_dp, fsdp=args.mesh_fsdp)
+        if mesh is None:
+            dp = args.mesh_dp
+            if dp is None:
+                # dp must divide the global batch; use the largest such divisor
+                n = len(jax.devices()) // args.mesh_fsdp
+                dp = math.gcd(args.train_batch_size, n)
+            mesh = make_mesh(dp=dp, fsdp=args.mesh_fsdp)
+        self.mesh = mesh
         self.dtype = {"no": jnp.float32, "fp16": jnp.bfloat16, "bf16": jnp.bfloat16}[args.mixed_precision]
         self._init_models(sd)
 

@@ -60,7 +60,7 @@ class PromptDataset:
         raise NotImplementedError
 
     def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, Any]:
-        rng = random.Random((self.seed, epoch, i))
+        rng = random.Random(self.seed * 1_000_003 + epoch * 9_176 + i)
         path, label = self.items[i]
         arr = self.load_image(path)
         arr = random_crop(arr, self.resolution, rng)
@@ -245,7 +245,7 @@ class BatchIterator:
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         idx = list(range(len(self.dataset)))
         if self.shuffle:
-            random.Random((self.seed, epoch)).shuffle(idx)
+            random.Random(self.seed * 1_000_003 + epoch).shuffle(idx)
         if self.drop_last:
             idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
 

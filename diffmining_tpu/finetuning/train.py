@@ -95,11 +95,14 @@ class TrainStepBuilder:
     mesh: Optional[Mesh] = None
 
     def init_state(self, unet_params) -> TrainState:
+        # deep-copy: train_step donates the state, which would otherwise kill
+        # the caller's (possibly shared) parameter buffers
+        params = jax.tree_util.tree_map(jnp.copy, unet_params)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
-            params=unet_params,
-            opt_state=self.optimizer.init(unet_params["params"]),
-            ema_params=jax.tree_util.tree_map(jnp.copy, unet_params) if self.use_ema else None,
+            params=params,
+            opt_state=self.optimizer.init(params["params"]),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params) if self.use_ema else None,
         )
 
     def build(self) -> Callable:

@@ -104,7 +104,14 @@ class ResnetBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        temb: jax.Array,
+        tap: str = "",
+        injection: Optional[Injection] = None,
+        collect: Optional[Dict[str, jax.Array]] = None,
+    ) -> jax.Array:
         in_ch = x.shape[-1]
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
@@ -114,6 +121,13 @@ class ResnetBlock(nn.Module):
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        # PnP injects the RESIDUAL BRANCH (post-conv2, pre-shortcut-add): each
+        # batch entry then adds its own shortcut (reference pnp.py:345-350
+        # injects hidden_states before `input_tensor + hidden_states`).
+        if tap and injection is not None and tap in injection:
+            h = jnp.broadcast_to(injection[tap], h.shape).astype(h.dtype)
+        if tap and collect is not None:
+            collect[tap] = h
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
@@ -326,12 +340,9 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResnetBlock(ch, groups=cfg.norm_num_groups, dtype=self.dtype, name=f"up_{i}_res_{j}")(x, temb)
-                if injection is not None and f"up.{i}.res.{j}" in injection:
-                    src = injection[f"up.{i}.res.{j}"]
-                    x = jnp.broadcast_to(src, x.shape).astype(x.dtype)
-                if collect is not None:
-                    collect[f"up.{i}.res.{j}"] = x
+                x = ResnetBlock(ch, groups=cfg.norm_num_groups, dtype=self.dtype, name=f"up_{i}_res_{j}")(
+                    x, temb, tap=f"up.{i}.res.{j}", injection=injection, collect=collect
+                )
                 if up_has_attn[i]:
                     x = SpatialTransformer(
                         ch, cfg.num_attention_heads, cfg.cross_attention_dim,

@@ -1,0 +1,149 @@
+"""Pallas TPU flash-attention (forward) for the UNet's attention layers.
+
+TPU-native replacement for xformers memory_efficient_attention (reference
+enables it on every UNet: typicality/compute.py:71-72, finetuning/
+base.py:178-191). Shapes in SD-v1.5: self-attention Lq=Lk ∈ {64..4096},
+cross-attention Lk=77, head_dim ∈ {40, 80, 160} — head_dim is zero-padded to
+the 128-lane width and short key lengths are masked, so one kernel covers all
+layers.
+
+Forward is the standard online-softmax tiling (fp32 accumulators in VMEM,
+one (batch·head) × q-block × k-block grid). Backward is provided via
+custom_vjp that recomputes attention with the XLA path — the typicality/DIFT
+inference sweeps (the product's hot path) never take gradients, and training
+still benefits from the Pallas forward.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len, block_k):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bk, d]
+    v = v_ref[0]  # [bk, d]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < kv_len, logits, NEG_INF)
+
+    m_prev = m_ref[...]  # [bq, 1]
+    l_prev = l_ref[...]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+    l_ref[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[...] = m_new
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nj - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, m):
+    pad = (-x.shape[axis]) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q, k, v, scale=None):
+    """q [B,H,Lq,D], k/v [B,H,Lk,D] -> [B,H,Lq,D]. Non-causal, no mask."""
+    return _flash_forward(q, k, v, scale)
+
+
+def _flash_forward(q, k, v, scale=None):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+
+    block_q = min(512, max(128, lq))
+    block_k = min(512, max(128, lk))
+
+    qq = _pad_to(_pad_to(q.reshape(b * h, lq, d), 1, block_q), 2, 128)
+    kk = _pad_to(_pad_to(k.reshape(b * h, lk, d), 1, block_k), 2, 128)
+    vv = _pad_to(_pad_to(v.reshape(b * h, lk, d), 1, block_k), 2, 128)
+    bh, lq_p, dp = qq.shape
+    lk_p = kk.shape[1]
+
+    grid = (bh, lq_p // block_q, lk_p // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_len=lk, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_p, dp), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, dp), lambda bb, i, j: (bb, i, 0)),
+                pl.BlockSpec((1, block_k, dp), lambda bb, i, j: (bb, j, 0)),
+                pl.BlockSpec((1, block_k, dp), lambda bb, i, j: (bb, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, dp), lambda bb, i, j: (bb, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),  # m
+                pltpu.VMEM((block_q, 1), jnp.float32),  # l
+                pltpu.VMEM((block_q, dp), jnp.float32),  # acc
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qq, kk, vv)
+    return out[:, :lq, :d].reshape(b, h, lq, d)
+
+
+def _xla_attention(q, k, v, scale):
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1)
+    return w, jnp.einsum("bhqk,bhkd->bhqd", w.astype(q.dtype), v)
+
+
+def _fwd(q, k, v, scale):
+    return _flash_forward(q, k, v, scale), (q, k, v)
+
+
+def _bwd(scale, res, g):
+    # recompute-with-XLA backward: attention here is a small fraction of UNet
+    # step FLOPs, and inference (the hot path) never calls this
+    q, k, v = res
+    d = q.shape[-1]
+    s = scale if scale is not None else 1.0 / (d**0.5)
+    w, _ = _xla_attention(q, k, v, s)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dw = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", w, g32)
+    # softmax backward
+    dlogits = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", dlogits, k.astype(jnp.float32)) * s
+    dk = jnp.einsum("bhqk,bhqd->bhkd", dlogits, q.astype(jnp.float32)) * s
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_fwd, _bwd)

@@ -28,8 +28,8 @@ def make_mesh(
     n = len(devices)
     if dp is None:
         dp = n // fsdp
-    assert dp * fsdp == n, f"mesh {dp}x{fsdp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, fsdp)
+    assert dp * fsdp <= n, f"mesh {dp}x{fsdp} > {n} devices"
+    arr = np.asarray(devices[: dp * fsdp]).reshape(dp, fsdp)
     return Mesh(arr, ("dp", "fsdp"))
 
 

@@ -1,0 +1,139 @@
+"""Doersch baseline tests: HOG/LAB properties, SVM solver, dense search, and a
+mini end-to-end run on synthetic data."""
+import json
+import os
+from os.path import join
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffmining_tpu.baselines.doersch import (
+    Doersch,
+    FeatureStore,
+    dense_search,
+    filter_by_contrast,
+    iou,
+    random_sample,
+)
+from diffmining_tpu.ops.hog import hog_features, hoglab_features, normalize_features, rgb2lab
+from diffmining_tpu.ops.svm import decision_function, fit_linear_svm, train_svm
+
+import jax.numpy as jnp
+
+
+def test_rgb2lab_known_values():
+    # white -> L=100, a=b=0; black -> 0; pure red -> known Lab (53.2, 80.1, 67.2)
+    rgb = jnp.asarray([[[1.0, 1.0, 1.0], [0.0, 0.0, 0.0], [1.0, 0.0, 0.0]]])
+    lab = np.asarray(rgb2lab(rgb))[0]
+    np.testing.assert_allclose(lab[0], [100, 0, 0], atol=0.2)
+    np.testing.assert_allclose(lab[1], [0, 0, 0], atol=0.2)
+    np.testing.assert_allclose(lab[2], [53.24, 80.09, 67.2], atol=0.5)
+
+
+def test_hog_uniform_image_is_zero():
+    img = jnp.full((128, 128, 3), 0.5)
+    h = np.asarray(hog_features(img))
+    assert h.shape == (9, 9, 8 * 8 * 31)
+    np.testing.assert_allclose(h, 0.0, atol=1e-6)
+
+
+def test_hog_oriented_edges():
+    """A vertical edge produces gradients along columns -> orientation 0 or
+    near-180 bins; a horizontal edge -> the 90-degree bin."""
+    img = np.zeros((128, 128, 3), np.float32)
+    img[:, 64:] = 1.0  # vertical edge: g_col nonzero, g_row 0 -> deg 0 or 180
+    h_v = np.asarray(hog_features(jnp.asarray(img))).reshape(9, 9, 64, 31)
+    e_v = h_v.sum(axis=(0, 1, 2))
+    assert np.argmax(e_v) in (0, 30)
+
+    img2 = np.zeros((128, 128, 3), np.float32)
+    img2[64:, :] = 1.0  # horizontal edge: g_row nonzero -> deg 90
+    h_h = np.asarray(hog_features(jnp.asarray(img2))).reshape(9, 9, 64, 31)
+    e_h = h_h.sum(axis=(0, 1, 2))
+    # 90 degrees falls in bin floor(90 / (180/31)) = 15
+    assert np.argmax(e_h) == 15
+
+
+def test_hoglab_shape_and_norm():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (128, 128, 3), dtype=np.uint8)
+    f = hoglab_features(img)
+    assert f.shape == (9, 9, 8 * 8 * 31 + 2 * 8 * 8)
+    n = normalize_features(f)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, rtol=1e-4)
+
+
+def test_linear_svm_separable():
+    rng = np.random.RandomState(0)
+    X = np.concatenate([rng.randn(50, 8) + 3, rng.randn(50, 8) - 3]).astype(np.float32)
+    y = np.asarray([1.0] * 50 + [-1.0] * 50)
+    w, b = fit_linear_svm(X, y, C=0.1)
+    pred = np.sign(decision_function(X, w, b))
+    assert (pred == y).mean() > 0.98
+
+
+def test_train_svm_hard_negatives():
+    rng = np.random.RandomState(1)
+    pos = [rng.randn(8) + 2 for _ in range(5)]
+    neg = [rng.randn(8) - 2 for _ in range(40)]
+    # plant misclassified negatives near the positives
+    tricky = [rng.randn(8) + 2.2 for _ in range(3)]
+    X = pos + [] + (tricky + neg)
+    w, hard = train_svm(X, (5, 0, 43), max_samples=10)
+    assert len(w) == 8
+    assert len(hard) >= 1  # the tricky negatives come back as hard negatives
+
+
+def test_iou():
+    assert iou((0, 0, 10, 10), (0, 0, 10, 10)) == 1.0
+    assert iou((0, 0, 10, 10), (10, 10, 20, 20)) == 0.0
+    assert 0.0 < iou((0, 0, 10, 10), (5, 5, 15, 15)) < 0.2
+
+
+def test_filter_by_contrast():
+    flat = Image.fromarray(np.full((64, 64, 3), 128, np.uint8))
+    assert not filter_by_contrast(flat)
+    rng = np.random.RandomState(0)
+    noisy = Image.fromarray(rng.randint(0, 255, (64, 64, 3), dtype=np.uint8))
+    assert filter_by_contrast(noisy)
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    """Two 'decades' with visually distinct patterns for ftt-layout loading."""
+    root = tmp_path_factory.mktemp("doersch_data")
+    rng = np.random.RandomState(0)
+    for dec, base in [("1930", 40), ("1990", 200)]:
+        os.makedirs(join(root, dec))
+        for i in range(3):
+            arr = rng.randint(0, 55, (128, 128, 3)).astype(np.uint8) + base
+            Image.fromarray(arr).save(join(root, dec, f"d{dec}_{i}.jpg"))
+    return str(root)
+
+
+def test_feature_store_and_dense_search(mini_dataset, tmp_path):
+    store = FeatureStore(str(tmp_path / "cache"), str(tmp_path / "shards"))
+    paths = [join(mini_dataset, "1930", f"d1930_{i}.jpg") for i in range(3)]
+    shards = store.build_shards(paths, "t-all", num_splits=1, batch_size=2)
+    assert all(os.path.isfile(s) for s in shards)
+    # detector = a real patch feature; it must find itself with score ~1
+    feats = store.image_features(paths[0])
+    w = feats[2, 3]
+    results = dense_search(w[None], shards, top_k=3)
+    top = results[0][0]
+    assert top[0] == pytest.approx(1.0, abs=1e-3)  # normalized self-match
+    assert top[2] == paths[0]
+    assert top[1] == (16, 24)
+
+    negs = random_sample(shards, num_samples=20)
+    assert len(negs) == 20 and negs[0].shape == (2112,)
+
+
+def test_doersch_mini_end_to_end(mini_dataset, tmp_path):
+    d = Doersch(str(tmp_path / "run"), "ftt", mini_dataset, how_many=6, threshold=50)
+    assert d.categories() == ["1930", "1990"]
+    img = d.get_top("1930", top_k=3, top_elem=3)
+    assert img.width > 0
+    out = join(str(tmp_path / "run"), "ftt", "1930")
+    assert any(f.startswith("top_") for f in os.listdir(out))

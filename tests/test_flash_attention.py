@@ -1,0 +1,50 @@
+"""Flash-attention kernel correctness vs the XLA reference (interpreter mode
+on CPU; the same kernel compiles on TPU — exercised by bench.py)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from diffmining_tpu.ops.attention import sdpa_xla
+from diffmining_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize(
+    "b,h,lq,lk,d",
+    [
+        (1, 2, 128, 128, 40),   # self-attn, head_dim 40 (pad to 128)
+        (1, 2, 256, 77, 80),    # cross-attn over 77 text tokens (masked pad)
+        (2, 1, 130, 130, 64),   # non-multiple seq length
+    ],
+)
+def test_flash_matches_xla(b, h, lq, lk, d):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, h, lq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
+    want = np.asarray(sdpa_xla(q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_gradient_matches_xla():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 1, 128, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 1, 128, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 1, 128, 32), jnp.float32)
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(sdpa_xla(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3)

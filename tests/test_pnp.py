@@ -1,0 +1,71 @@
+"""PnP translation smoke tests on the tiny stack (CPU)."""
+import os
+from os.path import join
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffmining_tpu.applications.pnp import PNP, Generator
+from diffmining_tpu.typicality.compute import SD
+
+
+@pytest.fixture(scope="module")
+def sd():
+    return SD.init_tiny("geo", ["France", "Japan"])
+
+
+@pytest.fixture(scope="module")
+def pnp(sd):
+    rng = np.random.RandomState(0)
+    img = rng.rand(32, 32, 3).astype(np.float32) * 2 - 1
+    p = PNP(sd, inversion_steps=6, n_timesteps=4)
+    p.invert(img, inversion_prompt="")
+    return p, img
+
+
+def test_inversion_trajectory(pnp):
+    p, img = pnp
+    assert p._trajectory.shape[0] == 6  # one latent per inversion step
+    assert np.isfinite(np.asarray(p._source_latent, np.float32)).all()
+
+
+def test_generate_targets(pnp):
+    p, _ = pnp
+    imgs = p.generate(["France", "Japan"])
+    assert len(imgs) == 2
+    assert imgs[0].size == (32, 32)
+
+
+def test_injection_changes_output(pnp):
+    """With injection disabled (pnp_f_t = pnp_attn_t = 0) the result differs
+    from the injected run — the taps are actually flowing."""
+    p, _ = pnp
+    a = p.generate(["France"])[0]
+    p2 = PNP(p.sd, inversion_steps=6, n_timesteps=4, pnp_f_t=0.0, pnp_attn_t=0.0)
+    p2._trajectory, p2._source_latent = p._trajectory, p._source_latent
+    b = p2.generate(["France"])[0]
+    assert np.abs(np.asarray(a, np.int16) - np.asarray(b, np.int16)).max() > 0
+
+
+def test_reconstruct(pnp):
+    p, _ = pnp
+    rec = p.reconstruct()
+    assert rec.size == (32, 32)
+
+
+def test_generator_file_protocol(sd, tmp_path):
+    src_dir = tmp_path / "base" / "France"
+    os.makedirs(src_dir)
+    rng = np.random.RandomState(1)
+    img_path = str(src_dir / "id_001_0.jpg")
+    Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)).save(img_path)
+    g = Generator(sd, img_path, inversion_steps=4, n_timesteps=2)
+    out = str(tmp_path / "out" / "France")
+    g.plotum(out, ["France", "Japan"], batch_size=2)
+    files = sorted(os.listdir(out))
+    assert "gt--France_001_0.jpg" in files
+    assert "inverted--France_001_0.jpg" in files
+    assert "projected--France_001_0.jpg" in files  # self-translation
+    assert "Japan_001_0.jpg" in files
