@@ -204,6 +204,28 @@ def compare_json_files(json_pt: str, json_ft: str) -> Dict[str, float]:
     return out
 
 
+def visualize_boxes(gt_box, dm: np.ndarray, pil: Image.Image) -> Image.Image:
+    """GT box + viridis typicality overlay, original|overlay side by side
+    (reference compute.py:227-260; PIL instead of cv2 — drawing only)."""
+    from matplotlib.cm import viridis
+    from PIL import ImageDraw
+
+    img = np.asarray(pil.convert("RGB"), dtype=np.float64)
+    z = (dm - dm.mean()) / max(dm.std(), 1e-12)
+    z = (z - z.min()) / max(z.max() - z.min(), 1e-12)
+    colored = np.asarray(viridis(z)) * 255.0  # [H, W, 4]
+    alpha = colored[..., 3:4] / 255.0 * 0.7
+    over = img * (1 - alpha) + colored[..., :3] * alpha
+    out = Image.fromarray(over.astype(np.uint8))
+    draw = ImageDraw.Draw(out)
+    x1, y1, x2, y2 = gt_box
+    draw.rectangle([x1, y1, x2, y2], outline=(255, 0, 0), width=2)
+    combo = Image.new("RGB", (pil.width * 2, pil.height))
+    combo.paste(pil.convert("RGB"), (0, 0))
+    combo.paste(out, (pil.width, 0))
+    return combo
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="X-ray localization eval (reference xray/compute.py CLI)")
     p.add_argument("-i", "--gt_path", default="dataset/CXR8")

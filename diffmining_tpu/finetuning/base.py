@@ -321,8 +321,12 @@ class BaseTrainer:
         self.training_init()
         self.resume_training()
 
+        from diffmining_tpu.utils.observability import MetricsLogger, StepTimer
+
         rng = jax.random.PRNGKey(args.seed)
         losses: List[float] = []
+        metrics = MetricsLogger(join(args.output_dir, args.logging_dir, "metrics.jsonl"))
+        timer = StepTimer()
         done = False
         for epoch in range(self.first_epoch, args.num_train_epochs):
             for step, batch in enumerate(self.loader.epoch(epoch)):
@@ -333,14 +337,19 @@ class BaseTrainer:
                 )
                 self.global_step += 1
                 losses.append(float(loss))
+                timer.tick()
                 if self.global_step % args.checkpointing_steps == 0:
                     self.save_checkpoint(self.global_step)
                 if self.global_step % args.logging_steps == 0:
-                    logger.info("step %d loss %.4f", self.global_step, float(np.mean(losses[-50:])))
+                    mean_loss = float(np.mean(losses[-50:]))
+                    logger.info("step %d loss %.4f", self.global_step, mean_loss)
+                    metrics.log(self.global_step, train_loss=mean_loss, epoch=epoch,
+                                steps_per_sec=timer.steps_per_sec())
                 if self.global_step >= args.max_train_steps:
                     done = True
                     break
             if done:
                 break
+        metrics.close()
         self.save_checkpoint(self.global_step)
         return self.end_training()

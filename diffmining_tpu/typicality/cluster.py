@@ -274,6 +274,42 @@ class Cluster(Typicality):
                     pil.save(join(parent, f"{i}-{j}-{num_clusters}_{idd}.png"))
         return results
 
+    def compute_least(self, k_per_image: int = 5) -> Dict[str, pd.DataFrame]:
+        """Least-typical patch tables (reference cluster.py:382-396:
+        df_D with ascending=True, cached per category)."""
+        out = {}
+        for country in self.categories():
+            fp = join(self.cache_path, "clusters", country + "-gt_least.pkl")
+            if os.path.isfile(fp) and not self.recache:
+                with open(fp, "rb") as f:
+                    out[country], _ = pickle.load(f)
+            else:
+                os.makedirs(os.path.dirname(fp), exist_ok=True)
+                dfs = self.df_D(country, k_per_image=k_per_image, ascending=True)
+                with open(fp, "wb") as f:
+                    pickle.dump(dfs, f)
+                out[country] = dfs[0]
+        return out
+
+    def plot_top_k(self, k_per_image: int = 5, k: int = 200) -> None:
+        """Save the top-k patch crops per category for D / random / D_least
+        (reference cluster.py:398-434)."""
+        tables = self.patch_tables(k_per_image=k_per_image)
+        dfs = {c: self.get_top_k(t[0], k=k) for c, t in tables.items()}
+        dfs_random = {c: self.get_top_k(t[1], k=k, randomize=True) for c, t in tables.items()}
+        dfs_least = {
+            c: self.get_top_k(t, k=k, ascending=True) for c, t in self.compute_least(k_per_image).items()
+        }
+        for name, dfs_ in zip(["D", "random", "D_least"], [dfs, dfs_random, dfs_least]):
+            for c, df in dfs_.items():
+                outdir = join(self.cache_path, "images", "topk", name, c)
+                os.makedirs(outdir, exist_ok=True)
+                for i in range(df.shape[0]):
+                    row = df.iloc[i]
+                    x0, y0, x1, y1 = (int(row[cc]) for cc in ["x_start", "y_start", "x_end", "y_end"])
+                    pil = self.load_image(row["seed"]).crop((y0, x0, y1, x1))
+                    pil.convert("RGBA").save(join(outdir, f"{i}.png"))
+
     # ------------------------------------------------------------------
     # whole-image ranking + figures
     # ------------------------------------------------------------------
@@ -335,6 +371,28 @@ class Cluster(Typicality):
                             join(figure_path, "clusters", f"{t}_{which}.png")
                         )
 
+    def make_topk_figure(self, figure_path: str, max_elems: int = 7) -> None:
+        """hcat strips of the saved top-k crops, filtered for near-black/white
+        (reference cluster.py:497-510)."""
+        from diffmining_tpu.ops.pool import filter_patch
+
+        root = join(self.cache_path, "images", "topk")
+        if not os.path.isdir(root):
+            return
+        for name in os.listdir(root):
+            for c in os.listdir(join(root, name)):
+                pils = []
+                files = sorted(os.listdir(join(root, name, c)), key=lambda x: int(x.split(".")[0]))
+                for file in files:
+                    pil = Image.open(join(root, name, c, file))
+                    if filter_patch(np.asarray(pil.convert("RGB"))):
+                        pils.append(pil)
+                        if len(pils) == max_elems:
+                            break
+                if pils:
+                    os.makedirs(join(figure_path, "topk", c), exist_ok=True)
+                    hcat_margin(pils).save(join(figure_path, "topk", c, f"{name}.png"))
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="TPU mining/clustering (reference cluster.py CLI)")
@@ -345,6 +403,7 @@ def main(argv=None):
     parser.add_argument("-w", "--which", required=True, choices=["ftt", "geo", "cars", "places"])
     parser.add_argument("--recache", action="store_true")
     parser.add_argument("--cluster", action="store_true")
+    parser.add_argument("--topk", action="store_true")
     parser.add_argument("--umap", action="store_true")
     parser.add_argument("--feature_which", type=str, default="dift-161")
     parser.add_argument("--figure_path", type=str, default=None)
@@ -359,6 +418,8 @@ def main(argv=None):
         args.which, args.typicality_path, args.dataset_path, args.cache_path, args.recache,
         model_path=args.model_path, aggregate=args.aggregate, kx=args.k, ky=args.k,
     )
+    if args.topk:
+        cluster.plot_top_k(k_per_image=5, k=(50 if args.num_images is None else args.num_images))
     if args.cluster:
         cluster.clustering(
             feature_which=args.feature_which, k=(1000 if args.num_images is None else args.num_images),
@@ -369,6 +430,8 @@ def main(argv=None):
             cluster.extract_top_k_images(args.figure_path)
         else:
             cluster.make_figure(args.figure_path, feature_which=args.feature_which)
+            if args.topk:
+                cluster.make_topk_figure(args.figure_path)
 
 
 if __name__ == "__main__":

@@ -120,7 +120,11 @@ def sweep_losses(
 
 @dataclasses.dataclass
 class TypicalityEngine:
-    """Bundles the jittable pieces for the sweep over one latent-shape bucket."""
+    """Bundles the jittable pieces for the sweep over one latent-shape bucket.
+
+    With a `mesh`, the image batch is sharded over the "dp" axis and XLA
+    partitions the whole scan — the multi-chip replacement for the reference's
+    SLURM-array file sharding (which is kept too, at the host level)."""
 
     unet: UNet2DCondition
     unet_params: Any
@@ -131,6 +135,7 @@ class TypicalityEngine:
     t_max: float = 1.0
     chunk: int = 10
     dtype: Any = jnp.bfloat16
+    mesh: Any = None
 
     def __post_init__(self):
         self._eps_fn = lambda params, x, t, ctx: self.unet.apply(params, x, t, ctx)
@@ -154,6 +159,22 @@ class TypicalityEngine:
         keys = jnp.stack([self.image_key(int(u)) for u in image_uids])
         t_lo = int(self.t_min * self.schedule.num_train_timesteps)
         t_hi = max(int(self.t_max * self.schedule.num_train_timesteps), t_lo + 1)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = self.mesh.shape["dp"]
+            if B % dp == 0:
+                data = NamedSharding(self.mesh, P("dp"))
+                repl = NamedSharding(self.mesh, P())
+                latents = jax.device_put(latents, data)
+                ctx = jax.device_put(ctx, data)
+                keys = jax.device_put(keys, data)
+                self_params = jax.device_put(self.unet_params, repl)
+                return sweep_losses(
+                    self._eps_fn, self_params, self.schedule,
+                    latents.astype(self.dtype), ctx, keys,
+                    self.n_samples, self.chunk, t_lo, t_hi,
+                )
         return sweep_losses(
             self._eps_fn,
             self.unet_params,

@@ -1,0 +1,78 @@
+"""Multi-chip logic on the virtual 8-device CPU mesh (SURVEY.md §4d): the
+reference never tested distribution without a cluster; we do."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from diffmining_tpu.parallel.mesh import batch_sharding, fsdp_sharding, make_mesh, shard_params
+from diffmining_tpu.typicality.compute import SD
+from diffmining_tpu.typicality.engine import TypicalityEngine
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(dp=4, fsdp=2)
+
+
+def test_mesh_shapes(mesh):
+    assert mesh.shape == {"dp": 4, "fsdp": 2}
+
+
+def test_fsdp_sharding_picks_divisible_axis(mesh):
+    sds = jax.ShapeDtypeStruct((6, 33), jnp.float32)
+    sh = fsdp_sharding(mesh, sds)
+    assert sh.spec == P("fsdp", None)
+    # nothing divisible -> replicated
+    sds2 = jax.ShapeDtypeStruct((3, 33), jnp.float32)
+    assert fsdp_sharding(mesh, sds2).spec == P()
+
+
+def test_sharded_typicality_sweep_matches_single_device(mesh):
+    """The dp-sharded sweep must produce byte-identical losses to the
+    unsharded one — sharding is layout, not math."""
+    sd = SD.init_tiny("ftt", ["1930"])
+    lat = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 4, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 77, 32))
+    uids = [1, 2, 3, 4]
+    kwargs = dict(
+        unet=sd.unet, unet_params=sd.unet_params, schedule=sd.schedule,
+        n_samples=4, chunk=2, t_min=0.1, t_max=0.7, dtype=jnp.float32,
+    )
+    plain = TypicalityEngine(**kwargs).compute(lat, ctx, uids)
+    sharded = TypicalityEngine(**kwargs, mesh=make_mesh(dp=4, fsdp=1)).compute(lat, ctx, uids)
+    # partitioning may reorder fp reductions; outputs are fp16 so allow 1-2 ULP
+    np.testing.assert_allclose(
+        np.asarray(plain, np.float32), np.asarray(sharded, np.float32), rtol=2e-3, atol=1e-4
+    )
+
+
+def test_train_step_dp_psum(mesh):
+    """DP training on the mesh: one step with batch sharded over dp runs and
+    yields finite loss + updated params (grad allreduce via XLA)."""
+    import optax
+
+    from diffmining_tpu.finetuning.train import TrainStepBuilder, make_lr_schedule, make_optimizer
+
+    sd = SD.init_tiny("ftt", ["1930"])
+    m = make_mesh(dp=4, fsdp=1)
+    builder = TrainStepBuilder(
+        unet=sd.unet, vae=sd.vae, clip=sd.clip, schedule=sd.schedule,
+        optimizer=make_optimizer(make_lr_schedule("constant", 1e-3, 0)),
+        vae_params=sd.vae_params, clip_params=sd.clip_params, use_ema=False, mesh=m,
+    )
+    state = builder.init_state(sd.unet_params)
+    step = builder.build()
+    images = jnp.zeros((4, 32, 32, 3))
+    tokens = jnp.zeros((4, 77), jnp.int32)
+    state, loss = step(state, images, tokens, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    assert int(state.step) == 1
+
+
+def test_shard_params_places_tree(mesh):
+    params = {"a": jnp.zeros((8, 16)), "b": jnp.zeros((3,))}
+    placed = shard_params(mesh, params)
+    assert placed["a"].sharding.spec in (P("fsdp", None), P(None, "fsdp"))
