@@ -108,6 +108,7 @@ class BaseTrainer:
             self.vae, self.vae_params = sd.vae, sd.vae_params
             self.clip, self.clip_params = sd.clip, sd.clip_params
             self.tokenizer, self.schedule = sd.tokenizer, sd.schedule
+            self._apply_remat()
             return
         base = args.base_name_or_path
         if os.path.isdir(base):
@@ -137,6 +138,15 @@ class BaseTrainer:
                 f"--base_name_or_path {base!r} is not a local pipeline dir; this "
                 "zero-egress build cannot fetch hub checkpoints — convert one with "
                 "utils/weights.py first"
+            )
+        self._apply_remat()
+
+    def _apply_remat(self):
+        """--gradient_checkpointing: rebuild the UNet with block remat
+        (same params pytree; reference cars.py:130-132)."""
+        if getattr(self.args, "gradient_checkpointing", False) and not self.unet.config.remat:
+            self.unet = UNet2DCondition(
+                dataclasses.replace(self.unet.config, remat=True), dtype=self.unet.dtype
             )
 
     # ------------------------------------------------------------------
@@ -180,8 +190,9 @@ class BaseTrainer:
             unet=self.unet, vae=self.vae, clip=self.clip, schedule=self.schedule,
             optimizer=self.optimizer, vae_params=self.vae_params, clip_params=self.clip_params,
             use_ema=args.use_ema, ema_max_decay=args.ema_decay, mesh=self.mesh,
+            lora_rank=(args.lora_rank if args.lora else None),
         )
-        self.state = self.builder.init_state(self.unet_params)
+        self.state = self.builder.init_state(self.unet_params, jax.random.PRNGKey(args.seed))
         self.train_step = self.builder.build()
         self.global_step = 0
         self.first_epoch = 0
@@ -198,6 +209,8 @@ class BaseTrainer:
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(self._ckpt_dir(step))
+        if os.path.isdir(join(path, "state")):
+            return  # already saved at this step (end-of-training re-save)
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(join(path, "state"), self.state)
         logger.info("Saved state to %s", path)
@@ -256,7 +269,7 @@ class BaseTrainer:
         num_samples = num_samples or args.num_samples_log
         steps = steps or args.num_inference_steps
         guidance_scale = guidance_scale if guidance_scale is not None else args.guidance_scale
-        params = self.state.ema_params if (args.use_ema and self.state.ema_params is not None) else self.state.params
+        params = self.builder.dense_params(self.state, use_ema=args.use_ema)
         res = (self.args.resolution or self.spec.resolution) // 8
         lat = jax.random.normal(jax.random.PRNGKey(seed), (num_samples, res, res, 4), dtype=jnp.float32)
         eps_fn = lambda p, x, t, c: self.unet.apply(p, x.astype(self.dtype), t, c.astype(self.dtype))
@@ -285,7 +298,7 @@ class BaseTrainer:
     def end_training(self):
         args = self.args
         export_dir = args.export_dir or join(args.output_dir, "export")
-        params = self.state.ema_params if (args.use_ema and self.state.ema_params is not None) else self.state.params
+        params = self.builder.dense_params(self.state, use_ema=args.use_ema)
         save_pipeline_dir(
             export_dir,
             self.unet.config, jax.device_get(params),
@@ -307,8 +320,9 @@ class BaseTrainer:
             unet=self.unet, vae=self.vae, clip=self.clip, schedule=self.schedule,
             optimizer=self.optimizer, vae_params=self.vae_params, clip_params=self.clip_params,
             use_ema=args.use_ema, ema_max_decay=args.ema_decay, mesh=self.mesh,
+            lora_rank=(args.lora_rank if args.lora else None),
         )
-        self.state = self.builder.init_state(self.unet_params)
+        self.state = self.builder.init_state(self.unet_params, jax.random.PRNGKey(args.seed))
         self.global_step = self.first_epoch = self.resume_step = 0
 
     def train(self):

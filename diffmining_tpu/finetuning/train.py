@@ -93,17 +93,37 @@ class TrainStepBuilder:
     use_ema: bool = False
     ema_max_decay: float = 0.9999
     mesh: Optional[Mesh] = None
+    # LoRA: state.params become the low-rank factors; the dense UNet params
+    # stay frozen in `lora_base` and are merged inside the jitted loss
+    # (reference base.py:199-205 attaches peft adapters instead)
+    lora_rank: Optional[int] = None
+    lora_base: Any = None
 
-    def init_state(self, unet_params) -> TrainState:
-        # deep-copy: train_step donates the state, which would otherwise kill
-        # the caller's (possibly shared) parameter buffers
-        params = jax.tree_util.tree_map(jnp.copy, unet_params)
+    def init_state(self, unet_params, rng: Optional[jax.Array] = None) -> TrainState:
+        if self.lora_rank:
+            from diffmining_tpu.finetuning.lora import init_lora_params
+
+            self.lora_base = unet_params
+            params = init_lora_params(unet_params, self.lora_rank, rng if rng is not None else jax.random.PRNGKey(0))
+        else:
+            # deep-copy: train_step donates the state, which would otherwise
+            # kill the caller's (possibly shared) parameter buffers
+            params = jax.tree_util.tree_map(jnp.copy, unet_params)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=self.optimizer.init(params["params"]),
             ema_params=jax.tree_util.tree_map(jnp.copy, params) if self.use_ema else None,
         )
+
+    def dense_params(self, state: TrainState, use_ema: bool = False) -> Any:
+        """Dense UNet params for inference/export (merges LoRA if active)."""
+        p = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        if self.lora_rank:
+            from diffmining_tpu.finetuning.lora import merge_lora
+
+            return merge_lora(self.lora_base, p)
+        return p
 
     def build(self) -> Callable:
         vae, clip, unet, schedule, optimizer = self.vae, self.clip, self.unet, self.schedule, self.optimizer
@@ -128,8 +148,17 @@ class TrainStepBuilder:
             else:
                 target = get_velocity(schedule, latents, noise, t)
 
+            lora_base = self.lora_base
+            lora_active = self.lora_rank is not None
+
             def loss_fn(params):
-                pred = unet.apply(params, noisy, t, ctx)
+                if lora_active:
+                    from diffmining_tpu.finetuning.lora import merge_lora
+
+                    apply_params = merge_lora(lora_base, params)
+                else:
+                    apply_params = params
+                pred = unet.apply(apply_params, noisy, t, ctx)
                 return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)

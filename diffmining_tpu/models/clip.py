@@ -57,6 +57,11 @@ class CLIPVisionConfig:
 
 CLIP_VIT_L_VISION_336 = CLIPVisionConfig()
 
+TINY_CLIP_VISION = CLIPVisionConfig(
+    image_size=64, patch_size=8, hidden_size=32, intermediate_size=64,
+    num_layers=2, num_heads=2, projection_dim=16,
+)
+
 
 def _act(name: str):
     if name == "quick_gelu":

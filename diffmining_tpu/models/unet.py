@@ -49,6 +49,9 @@ class UNetConfig:
     freq_shift: int = 0
     flip_sin_to_cos: bool = True
     sample_size: int = 64
+    # rematerialize blocks on backward (the reference's
+    # --gradient_checkpointing, finetuning/cars.py:130-132)
+    remat: bool = False
 
     @property
     def up_block_has_attn(self) -> Tuple[bool, ...]:
@@ -232,7 +235,7 @@ class SpatialTransformer(nn.Module):
         self,
         x: jax.Array,
         context: jax.Array,
-        tap: str,
+        tap: str = "",
         injection: Optional[Injection] = None,
         collect: Optional[Dict[str, jax.Array]] = None,
     ) -> jax.Array:
@@ -295,6 +298,21 @@ class UNet2DCondition(nn.Module):
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
         collect: Optional[Dict[str, jax.Array]] = {} if collect_injection else None
+        # remat only applies on the plain eps path (taps/injection change the
+        # block signatures and are inference-only anyway)
+        use_remat = cfg.remat and not collect_injection and injection is None and not up_ft_indices
+        Res = nn.remat(ResnetBlock) if use_remat else ResnetBlock
+        Tf = nn.remat(SpatialTransformer) if use_remat else SpatialTransformer
+
+        def res_call(mod, h, tap):
+            if use_remat:
+                return mod(h, temb)
+            return mod(h, temb, tap=tap, injection=injection, collect=collect)
+
+        def tf_call(mod, h, tap):
+            if use_remat:
+                return mod(h, context)
+            return mod(h, context, tap=tap, injection=injection, collect=collect)
 
         t_emb = timestep_embedding(
             timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift
@@ -311,13 +329,19 @@ class UNet2DCondition(nn.Module):
         n_blocks = len(cfg.block_out_channels)
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock(ch, groups=cfg.norm_num_groups, dtype=self.dtype, name=f"down_{i}_res_{j}")(x, temb)
+                x = res_call(
+                    Res(ch, groups=cfg.norm_num_groups, dtype=self.dtype, name=f"down_{i}_res_{j}"),
+                    x, "",
+                )
                 if cfg.down_block_has_attn[i]:
-                    x = SpatialTransformer(
-                        ch, cfg.num_attention_heads, cfg.cross_attention_dim,
-                        depth=cfg.transformer_layers, groups=cfg.norm_num_groups,
-                        dtype=self.dtype, name=f"down_{i}_tf_{j}",
-                    )(x, context, tap=f"down.{i}.tf.{j}", injection=injection, collect=collect)
+                    x = tf_call(
+                        Tf(
+                            ch, cfg.num_attention_heads, cfg.cross_attention_dim,
+                            depth=cfg.transformer_layers, groups=cfg.norm_num_groups,
+                            dtype=self.dtype, name=f"down_{i}_tf_{j}",
+                        ),
+                        x, f"down.{i}.tf.{j}",
+                    )
                 skips.append(x)
             if i < n_blocks - 1:
                 x = Downsample(ch, dtype=self.dtype, name=f"down_{i}_downsample")(x)
@@ -325,12 +349,15 @@ class UNet2DCondition(nn.Module):
 
         # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
-        x = ResnetBlock(mid_ch, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_res_0")(x, temb)
-        x = SpatialTransformer(
-            mid_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
-            depth=cfg.transformer_layers, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_tf",
-        )(x, context, tap="mid.tf", injection=injection, collect=collect)
-        x = ResnetBlock(mid_ch, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_res_1")(x, temb)
+        x = res_call(Res(mid_ch, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_res_0"), x, "")
+        x = tf_call(
+            Tf(
+                mid_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
+                depth=cfg.transformer_layers, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_tf",
+            ),
+            x, "mid.tf",
+        )
+        x = res_call(Res(mid_ch, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_res_1"), x, "")
 
         # --- up ---
         up_ft: Dict[int, jax.Array] = {}
@@ -340,15 +367,19 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResnetBlock(ch, groups=cfg.norm_num_groups, dtype=self.dtype, name=f"up_{i}_res_{j}")(
-                    x, temb, tap=f"up.{i}.res.{j}", injection=injection, collect=collect
+                x = res_call(
+                    Res(ch, groups=cfg.norm_num_groups, dtype=self.dtype, name=f"up_{i}_res_{j}"),
+                    x, f"up.{i}.res.{j}",
                 )
                 if up_has_attn[i]:
-                    x = SpatialTransformer(
-                        ch, cfg.num_attention_heads, cfg.cross_attention_dim,
-                        depth=cfg.transformer_layers, groups=cfg.norm_num_groups,
-                        dtype=self.dtype, name=f"up_{i}_tf_{j}",
-                    )(x, context, tap=f"up.{i}.tf.{j}", injection=injection, collect=collect)
+                    x = tf_call(
+                        Tf(
+                            ch, cfg.num_attention_heads, cfg.cross_attention_dim,
+                            depth=cfg.transformer_layers, groups=cfg.norm_num_groups,
+                            dtype=self.dtype, name=f"up_{i}_tf_{j}",
+                        ),
+                        x, f"up.{i}.tf.{j}",
+                    )
             if i in up_ft_indices:
                 up_ft[i] = x
             if i < n_blocks - 1:

@@ -28,10 +28,15 @@ from diffmining_tpu.utils.images import image_to_array, image_uid
 class SDFeaturizer:
     """Prompt-conditioned one-step UNet feature extractor."""
 
-    def __init__(self, sd: SD, seed: int = 42):
+    def __init__(self, sd: SD, seed: int = 42, image_cache_size: int = 8):
         self.sd = sd
         self.seed = seed
         self._jit_cache = {}
+        # per-image feature-map LRU: the reference recomputes the WHOLE image's
+        # DIFT ensemble for every patch (cluster.py:291-299 via dift.forward);
+        # top-5 patches/image share one map here — ~5x fewer UNet ensembles
+        self._image_cache: "dict[tuple, np.ndarray]" = {}
+        self._image_cache_size = image_cache_size
 
     def _feature_fn(self, up_ft_index: int, ensemble_size: int):
         key = (up_ft_index, ensemble_size)
@@ -91,7 +96,14 @@ class SDFeaturizer:
         the crop, L2-normalized — the reference's patch embedding
         (cluster.py:291-299). box = (x_start, y_start, x_end, y_end) in image
         pixels, x = row (the reference's row-major convention)."""
-        feat = self.forward(img_array, prompt, t, up_ft_index, ensemble_size, uid)
+        cache_uid = uid if uid is not None else hash(img_array.tobytes())
+        key = (cache_uid, prompt, t, up_ft_index, ensemble_size, img_array.shape)
+        feat = self._image_cache.get(key)
+        if feat is None:
+            feat = self.forward(img_array, prompt, t, up_ft_index, ensemble_size, uid)
+            if len(self._image_cache) >= self._image_cache_size:
+                self._image_cache.pop(next(iter(self._image_cache)))
+            self._image_cache[key] = feat
         H, W = img_array.shape[:2]
         h, w = feat.shape[:2]
         x0, y0, x1, y1 = box

@@ -165,13 +165,15 @@ class TypicalityEngine:
             dp = self.mesh.shape["dp"]
             if B % dp == 0:
                 data = NamedSharding(self.mesh, P("dp"))
-                repl = NamedSharding(self.mesh, P())
                 latents = jax.device_put(latents, data)
                 ctx = jax.device_put(ctx, data)
                 keys = jax.device_put(keys, data)
-                self_params = jax.device_put(self.unet_params, repl)
+                if not hasattr(self, "_placed_params"):
+                    self._placed_params = jax.device_put(
+                        self.unet_params, NamedSharding(self.mesh, P())
+                    )
                 return sweep_losses(
-                    self._eps_fn, self_params, self.schedule,
+                    self._eps_fn, self._placed_params, self.schedule,
                     latents.astype(self.dtype), ctx, keys,
                     self.n_samples, self.chunk, t_lo, t_hi,
                 )
