@@ -43,6 +43,10 @@ def build(batch: int, iters: int, dtype=jnp.bfloat16):
     t = jnp.zeros((batch,), jnp.int32)
     ctx = jnp.zeros((batch, 77, 768), dtype)
     params = unet.init(jax.random.PRNGKey(0), latents[:1], t[:1], ctx[:1])
+    if dtype == jnp.bfloat16:
+        # inference-cast: fp32 master weights would otherwise be re-converted
+        # (and re-read at 2x bytes from HBM) on every pass
+        params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
 
     @jax.jit
     def loop(p, x, tt, c):

@@ -102,30 +102,37 @@ class FTT(PromptDataset):
 
     def __init__(self, data_path: str, tokenizer: CLIPTokenizer, seed: int = 0):
         super().__init__(tokenizer, seed)
-        for t in sorted(os.listdir(data_path)):
-            if not os.path.isdir(join(data_path, t)):
+        # the reference reads {data_path}/train/{decade}/ (ftt.py:40-42);
+        # accept a path that already points at the split too
+        root = join(data_path, "train") if os.path.isdir(join(data_path, "train")) else data_path
+        for t in sorted(os.listdir(root)):
+            if not os.path.isdir(join(root, t)):
                 continue
-            for name in sorted(os.listdir(join(data_path, t))):
-                self.items.append((join(data_path, t, name), t))
+            for name in sorted(os.listdir(join(root, t))):
+                self.items.append((join(root, t, name), t))
 
     def load_image(self, path: str) -> np.ndarray:
         return image_to_array(Image.open(path).convert("RGB"))
 
     def prompt(self, decade: str, rng: random.Random) -> str:
+        # null keeps the bare base prompt, no period (ftt.py:61-65)
         if rng.random() < 0.1:
-            return self.BASE_PROMPT + "."
+            return self.BASE_PROMPT
         return self.BASE_PROMPT + " of the " + decade + "s."
 
 
 class G3(PromptDataset):
-    """Street-view panorama crops: metadata.csv + 4 view angles, exclude.json,
-    RandomCrop 512, prompts p=[.05 null, .85 country, .10 region]
-    (reference geo.py:31-81)."""
+    """Street-view panoramas: metadata.csv (id,country,region,...) with images
+    at `images/{id}/{angle}.jpg`, angles 45/135/225/315, exclude.json of
+    `{id}/{angle}.jpg` names; RandomCrop 512; prompt p=[.05 null, .85 country,
+    .10 country+region] (reference geo.py:36-81 — the region branch APPENDS
+    ', at the region of {region}' to the country prompt, geo.py:74-78)."""
 
     BASE_PROMPT = "A google street view image"
     resolution = 512
+    ANGLES = ("45", "135", "225", "315")
 
-    def __init__(self, data_path: str, tokenizer: CLIPTokenizer, seed: int = 0, angles=(0, 90, 180, 270)):
+    def __init__(self, data_path: str, tokenizer: CLIPTokenizer, seed: int = 0):
         super().__init__(tokenizer, seed)
         exclude = set()
         if os.path.isfile(join(data_path, "exclude.json")):
@@ -133,15 +140,18 @@ class G3(PromptDataset):
                 exclude = set(json.load(f))
         import csv
 
+        image_folder = join(data_path, "images")
         with open(join(data_path, "metadata.csv")) as f:
             for row in csv.DictReader(f):
                 key = row.get("id") or row.get("key")
-                if key in exclude:
+                if not key or not os.path.isdir(join(image_folder, key)):
                     continue
-                country = row.get("country", "")
-                region = row.get("region", "") or row.get("area", "")
-                for a in angles:
-                    p = join(data_path, "images", f"{key}_{a}.jpg")
+                country = row.get("country", "") or ""
+                region = row.get("region", "") or ""
+                for a in self.ANGLES:
+                    if join(key, f"{a}.jpg") in exclude:
+                        continue
+                    p = join(image_folder, key, f"{a}.jpg")
                     if os.path.isfile(p):
                         self.items.append((p, (country, region)))
 
@@ -150,12 +160,13 @@ class G3(PromptDataset):
 
     def prompt(self, label: Tuple[str, str], rng: random.Random) -> str:
         country, region = label
-        r = rng.random()
-        if r < 0.05:
-            return self.BASE_PROMPT
-        if r < 0.90 or not region:
-            return self.BASE_PROMPT + " in " + country
-        return self.BASE_PROMPT + ", at the region of " + region
+        i = rng.choices([0, 1, 2], weights=[0.05, 0.85, 0.10])[0]
+        prompt = self.BASE_PROMPT
+        if i >= 1:
+            prompt = prompt + " in " + str(country)
+        if i == 2 and region:
+            prompt = prompt + ", at the region of " + str(region)
+        return prompt
 
 
 class G3r(PromptDataset):
@@ -167,11 +178,23 @@ class G3r(PromptDataset):
 
     def __init__(self, data_path: str, tokenizer: CLIPTokenizer, seed: int = 0):
         super().__init__(tokenizer, seed)
-        for root, _dirs, files in sorted(os.walk(data_path)):
-            for name in sorted(files):
-                if name.lower().endswith((".jpg", ".png", ".jpeg")):
-                    category = os.path.relpath(root, data_path).replace(os.sep, "_")
-                    self.items.append((join(root, name), category))
+        # places365 layout {data_path}/{letter}/{category}[/{sub}]/img: the
+        # category label is "{sub}_{category}" for 3-level entries
+        # (reference places.py:36-46)
+        for letter in sorted(os.listdir(data_path)):
+            lp = join(data_path, letter)
+            if not os.path.isdir(lp):
+                continue
+            for category in sorted(os.listdir(lp)):
+                cp = join(lp, category)
+                if not os.path.isdir(cp):
+                    continue
+                for fp in sorted(os.listdir(cp)):
+                    if os.path.isdir(join(cp, fp)):
+                        for fpp in sorted(os.listdir(join(cp, fp))):
+                            self.items.append((join(cp, fp, fpp), fp + "_" + category))
+                    else:
+                        self.items.append((join(cp, fp), category))
 
     def load_image(self, path: str) -> np.ndarray:
         img = rescale_short_side(Image.open(path).convert("RGB"), 512, ceil_mode=True)
@@ -207,14 +230,16 @@ class XRay(PromptDataset):
                     self.items.append((join(data_path, "images", name), labels[name]))
 
     def load_image(self, path: str) -> np.ndarray:
-        img = rescale_short_side(Image.open(path).convert("RGB"), 512, ceil_mode=True)
-        return image_to_array(img)
+        # native resolution — the reference applies no resize (finetune.py:52-55)
+        return image_to_array(Image.open(path).convert("RGB"))
 
     def prompt(self, finding: str, rng: random.Random) -> str:
-        if rng.random() < 0.05:
-            return self.BASE_PROMPT + "."
-        parts = [p.replace("No Finding", "no finding") for p in finding.split("|")]
-        return self.BASE_PROMPT + " with " + ", ".join(parts) + "."
+        """'Chest X-Ray with {l1, l2}.' — underscores to spaces, 'No Finding'
+        lowercased, 5% base-only (reference finetune.py:60-67)."""
+        prompt = self.BASE_PROMPT
+        if rng.random() >= 0.05:
+            prompt = prompt + " with " + ", ".join(finding.replace("_", " ").split("|"))
+        return prompt.replace("No Finding", "no finding") + "."
 
 
 class BatchIterator:

@@ -72,3 +72,39 @@ def shard_params(mesh: Mesh, params):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host init for TPU pods (SURVEY.md §5.8: replaces the reference's
+    NCCL/Accelerate process group). On TPU pods jax.distributed discovers the
+    topology from the environment; explicit args cover CPU/GPU clusters.
+    Call once per host before building the mesh. No-op if already initialized
+    or single-process."""
+    import jax
+
+    try:
+        if coordinator_address is None and num_processes is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+    except (ValueError, RuntimeError) as e:  # already initialized / single host
+        if "already" not in str(e).lower():
+            raise
+
+
+def host_local_batch_slice(global_batch: int) -> slice:
+    """The slice of a globally-sharded batch this host should feed
+    (process-local data loading for pods)."""
+    import jax
+
+    per_host = global_batch // jax.process_count()
+    start = jax.process_index() * per_host
+    return slice(start, start + per_host)

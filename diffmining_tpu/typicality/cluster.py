@@ -162,10 +162,10 @@ class Cluster(Typicality):
                 with open(fp, "rb") as f:
                     out[country] = pickle.load(f)
             else:
-                os.makedirs(os.path.dirname(fp), exist_ok=True)
+                from diffmining_tpu.utils.artifacts import atomic_save_pickle
+
                 dfs = self.df_D(country, k_per_image=k_per_image)
-                with open(fp, "wb") as f:
-                    pickle.dump(dfs, f)
+                atomic_save_pickle(fp, dfs)
                 out[country] = dfs
         return out
 
@@ -222,8 +222,9 @@ class Cluster(Typicality):
                     arr, dift_prompt(self.which, c), (x0, y0, x1, y1), t=t, uid=image_uid(row["seed"])
                 )
                 if self.cache_features:
-                    with open(pkl_file, "wb") as f:
-                        pickle.dump(emb, f)
+                    from diffmining_tpu.utils.artifacts import atomic_save_pickle
+
+                    atomic_save_pickle(pkl_file, emb)
             X.append(emb)
         return X, ids, pils, ds, orig_path
 

@@ -268,9 +268,11 @@ class D:
         latents = self.sd.encode_vae_per_image(images, vae_keys)
         losses = self.engine.compute(latents, ctx, uids)  # [B,N,2,h,w,C]
         losses.block_until_ready()
+        from diffmining_tpu.utils.artifacts import atomic_save_npy
+
         os.makedirs(self.typicality_path, exist_ok=True)
         for b, path in enumerate(paths):
-            np.save(self.get_path(path), losses_to_reference_layout(np.asarray(losses[b])))
+            atomic_save_npy(self.get_path(path), losses_to_reference_layout(np.asarray(losses[b])))
 
 
 def get_country(path: str) -> str:

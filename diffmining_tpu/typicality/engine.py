@@ -54,10 +54,12 @@ def sample_noise_and_t(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps_fn", "n_samples", "chunk", "t_lo", "t_hi"),
+    static_argnames=("unet", "n_samples", "chunk", "t_lo", "t_hi"),
 )
 def sweep_losses(
-    eps_fn: Callable,
+    unet: UNet2DCondition,  # static: flax modules hash by config, so every
+    # engine over the same architecture shares ONE compiled sweep (a per-
+    # instance eps_fn closure would recompile per category)
     params: Any,
     schedule: Schedule,
     latents: jax.Array,  # [B, h, w, C] clean latents (one shape bucket)
@@ -106,7 +108,7 @@ def sweep_losses(
         t_b = jnp.broadcast_to(t_c[:, :, None], (B, chunk, n_cond)).reshape(-1)
         ctx_b = jnp.broadcast_to(ctx[:, None], (B, chunk) + ctx.shape[1:])
         ctx_b = ctx_b.reshape(B * chunk * n_cond, *ctx.shape[2:])
-        pred = eps_fn(params, noisy_b, t_b, ctx_b)
+        pred = unet.apply(params, noisy_b, t_b, ctx_b)
         pred = pred.reshape(B, chunk, n_cond, h, w, C)
         # fp32 pred vs noise, elementwise MSE (reference compute.py:101)
         loss = (pred.astype(jnp.float32) - noise_c[:, :, None]) ** 2
@@ -136,10 +138,17 @@ class TypicalityEngine:
     chunk: int = 10
     dtype: Any = jnp.bfloat16
     mesh: Any = None
+    cast_params: bool = True
 
     def __post_init__(self):
-        self._eps_fn = lambda params, x, t, ctx: self.unet.apply(params, x, t, ctx)
         self._base_key = jax.random.PRNGKey(self.seed)
+        if self.cast_params and self.dtype == jnp.bfloat16:
+            # inference sweep: bf16 weights halve HBM weight traffic; the
+            # loss is still accumulated in fp32 (sweep_losses)
+            self.unet_params = jax.tree_util.tree_map(
+                lambda x: x.astype(self.dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
+                self.unet_params,
+            )
         # the scan needs chunk | n_samples; snap to the largest divisor
         if self.n_samples % self.chunk != 0:
             c = min(self.chunk, self.n_samples)
@@ -173,12 +182,12 @@ class TypicalityEngine:
                         self.unet_params, NamedSharding(self.mesh, P())
                     )
                 return sweep_losses(
-                    self._eps_fn, self._placed_params, self.schedule,
+                    self.unet, self._placed_params, self.schedule,
                     latents.astype(self.dtype), ctx, keys,
                     self.n_samples, self.chunk, t_lo, t_hi,
                 )
         return sweep_losses(
-            self._eps_fn,
+            self.unet,
             self.unet_params,
             self.schedule,
             latents.astype(self.dtype),
