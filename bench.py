@@ -74,7 +74,7 @@ def measure(batch: int, iters: int, warmup: int, dtype=jnp.bfloat16) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--measure-cpu-baseline", action="store_true")

@@ -32,7 +32,8 @@ def parser_base() -> argparse.ArgumentParser:
     p.add_argument("--scale_lr", action="store_true",
                    help="scale lr by dp size × grad accumulation × batch (reference base.py:209)")
     p.add_argument("--lr_scheduler", type=str, default="constant",
-                   choices=["constant", "linear", "cosine", "constant_with_warmup"])
+                   choices=["constant", "linear", "cosine", "constant_with_warmup",
+                            "cosine_with_restarts", "polynomial"])
     p.add_argument("--lr_warmup_steps", type=int, default=500)
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--ema_decay", type=float, default=0.9999)

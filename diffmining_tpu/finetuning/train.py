@@ -54,6 +54,19 @@ def make_lr_schedule(name: str, lr: float, warmup: int, total_steps: Optional[in
     if name == "cosine":
         assert total_steps
         return optax.warmup_cosine_decay_schedule(0.0, lr, warmup, total_steps)
+    if name == "cosine_with_restarts":
+        assert total_steps
+        n_cycles = 4
+        period = max(1, (total_steps - warmup) // n_cycles)
+        cosines = [optax.cosine_decay_schedule(lr, period) for _ in range(n_cycles)]
+        bounds = [warmup + period * (i + 1) for i in range(n_cycles - 1)]
+        return optax.join_schedules([optax.linear_schedule(0.0, lr, warmup)] + cosines, [warmup] + bounds)
+    if name == "polynomial":
+        assert total_steps
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup), optax.polynomial_schedule(lr, 0.0, 1.0, total_steps - warmup)],
+            [warmup],
+        )
     raise ValueError(name)
 
 

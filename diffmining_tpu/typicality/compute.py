@@ -248,15 +248,39 @@ class D:
 
     def compute_batch(self, items: Sequence[Tuple[str, str]]) -> None:
         """Compute + save typicality grids for (path, category) items, batching
-        same-shape images through one jitted sweep."""
-        by_shape: Dict[Tuple[int, int], List[Tuple[str, str, np.ndarray]]] = defaultdict(list)
-        for path, country in items:
-            arr, _ = load_image(path, self.which, self.bucket_size)
-            by_shape[arr.shape[:2]].append((path, country, arr))
+        same-shape images through one jitted sweep. Image decode runs in a
+        producer thread so the host overlaps PIL work with device compute
+        (the reference's joblib workers only parallelized the mining stage)."""
+        import queue
+        import threading
 
-        for shape, group in by_shape.items():
-            for i in range(0, len(group), self.batch_images):
-                self._compute_group(group[i : i + self.batch_images])
+        by_shape: Dict[Tuple[int, int], List[Tuple[str, str, np.ndarray]]] = defaultdict(list)
+        q: "queue.Queue" = queue.Queue(maxsize=2 * max(self.batch_images, 1))
+
+        def producer():
+            for path, country in items:
+                try:
+                    arr, _ = load_image(path, self.which, self.bucket_size)
+                    q.put((path, country, arr))
+                except Exception as ex:  # skip unreadable images, keep the sweep alive
+                    print(f"error {ex} @path={path}")
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            path, country, arr = item
+            group = by_shape[arr.shape[:2]]
+            group.append((path, country, arr))
+            if len(group) >= self.batch_images:
+                self._compute_group(group)
+                group.clear()
+        for group in by_shape.values():
+            if group:
+                self._compute_group(group)
 
     def _compute_group(self, group: Sequence[Tuple[str, str, np.ndarray]]) -> None:
         paths = [g[0] for g in group]
