@@ -204,6 +204,19 @@ def compare_json_files(json_pt: str, json_ft: str) -> Dict[str, float]:
     return out
 
 
+def predict_bboxes(dm: np.ndarray, kx: int = 64, ky: int = 64, k_per_image: int = 5,
+                   ascending: bool = True) -> np.ndarray:
+    """Top-k non-overlapping kx×ky boxes scored by the map value at the box
+    corner (reference compute.py:220-226 builds the per-pixel DataFrame the
+    same way; ascending=True picks the least-typical boxes as it does)."""
+    from diffmining_tpu.ops.pool import top_patches
+
+    h, w = dm.shape
+    valid = dm[: h - kx + 1, : w - ky + 1]
+    boxes, _ = top_patches(-valid if ascending else valid, kx, ky, k_per_image)
+    return boxes
+
+
 def visualize_boxes(gt_box, dm: np.ndarray, pil: Image.Image) -> Image.Image:
     """GT box + viridis typicality overlay, original|overlay side by side
     (reference compute.py:227-260; PIL instead of cv2 — drawing only)."""

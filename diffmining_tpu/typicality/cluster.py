@@ -413,11 +413,18 @@ def main(argv=None):
     parser.add_argument("--num_clusters", type=int, default=32)
     parser.add_argument("--k", type=int, default=64)
     parser.add_argument("--aggregate", type=str, default="median", choices=["mean", "median"])
+    parser.add_argument("--not_cache_features", action="store_false", dest="cache_features")
+    parser.add_argument("--max_row", type=int, default=6)
+    parser.add_argument("--top_k_figure", type=int, default=5)
+    parser.add_argument("--min_row", type=int, default=5)
+    parser.add_argument("--grid_sep_x", type=int, default=2)
+    parser.add_argument("--grid_sep_y", type=int, default=4)
     args = parser.parse_args(argv)
 
     cluster = Cluster(
         args.which, args.typicality_path, args.dataset_path, args.cache_path, args.recache,
         model_path=args.model_path, aggregate=args.aggregate, kx=args.k, ky=args.k,
+        cache_features=args.cache_features,
     )
     if args.topk:
         cluster.plot_top_k(k_per_image=5, k=(50 if args.num_images is None else args.num_images))
@@ -430,7 +437,11 @@ def main(argv=None):
         if args.top_full_images:
             cluster.extract_top_k_images(args.figure_path)
         else:
-            cluster.make_figure(args.figure_path, feature_which=args.feature_which)
+            cluster.make_figure(
+                args.figure_path, feature_which=args.feature_which,
+                hard_limit=args.max_row, top_k=args.top_k_figure, min_im=args.min_row,
+                grid_sep_x=args.grid_sep_x, grid_sep_y=args.grid_sep_y,
+            )
             if args.topk:
                 cluster.make_topk_figure(args.figure_path)
 

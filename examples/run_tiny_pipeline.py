@@ -1,0 +1,96 @@
+"""End-to-end demo of the full mining pipeline on a synthetic dataset.
+
+Runs the complete product flow of the reference (finetune -> export ->
+typicality sweep -> patch mining/clustering -> figures/HTML) on the tiny
+random stack, CPU-only, in a few minutes:
+
+    python examples/run_tiny_pipeline.py /tmp/diffmine-demo
+
+This is the "minimum end-to-end slice" of SURVEY.md §7 as one executable.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from os.path import join
+
+import jax
+
+if jax.default_backend() not in ("cpu",):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+import numpy as np
+from PIL import Image
+
+DECADES = ["1930", "1990"]
+
+
+def make_dataset(root: str) -> str:
+    rng = np.random.RandomState(0)
+    data = join(root, "ftt", "train")
+    for dec, base in [("1930", 30), ("1990", 170)]:
+        os.makedirs(join(data, dec), exist_ok=True)
+        for i in range(4):
+            arr = (rng.randint(0, 80, (32, 32, 3)) + base).astype(np.uint8)
+            Image.fromarray(arr).save(join(data, dec, f"img_{dec}_{i}.jpg"))
+    return join(root, "ftt")
+
+
+def main(root: str) -> None:
+    from diffmining_tpu.finetuning.args import parse_args
+    from diffmining_tpu.finetuning.base import BaseTrainer
+    from diffmining_tpu.typicality.cluster import Cluster
+    from diffmining_tpu.typicality.compute import SD, Typicality
+    from diffmining_tpu.typicality.make_html import generate_html
+    from diffmining_tpu.utils.export import save_pipeline_dir
+
+    data_root = make_dataset(root)
+
+    # 0. a "pretrained" tiny SD pipeline (random init stands in for SD-v1.5)
+    sd0 = SD.init_tiny("ftt", DECADES)
+    base_dir = join(root, "models", "base")
+    save_pipeline_dir(
+        base_dir, sd0.unet.config, sd0.unet_params, sd0.vae.config, sd0.vae_params,
+        sd0.clip.config, sd0.clip_params, sd0.schedule,
+    )
+    print("[0] base pipeline:", base_dir)
+
+    # 1. finetune for a few steps and export
+    args = parse_args([
+        "--base_name_or_path", base_dir,
+        "--data_path", data_root,
+        "--output_dir", join(root, "models", "ft"),
+        "--train_batch_size", "2", "--max_train_steps", "4",
+        "--resolution", "32", "--mixed_precision", "no", "--use_ema",
+    ])
+    export_dir = BaseTrainer("ftt", args).train()
+    print("[1] finetuned export:", export_dir)
+
+    # 2. typicality sweep (submission work queue -> jitted sweeps -> .npy)
+    typ_path = join(root, "typicality")
+    sub_path = join(root, "submission")
+    typ = Typicality("ftt", export_dir, join(data_root, "train"), typ_path,
+                     t_min=0.1, t_max=0.7, N=8, batch_images=4)
+    typ.make_submission(join(data_root, "train"), sub_path, sub_split=1)
+    typ.compute_submission(join(sub_path, "0.txt"))
+    print("[2] typicality artifacts:", os.listdir(typ_path))
+
+    # 3. mine + cluster + figures
+    cache = join(root, "cache")
+    figs = join(root, "figures", "ft", "0.1-0.7")
+    cl = Cluster("ftt", typ_path, join(data_root, "train"), cache,
+                 model_path=export_dir, kx=8, ky=8)
+    cl.clustering(feature_which="dift-161", k_per_image=3, k=12, num_clusters=2)
+    cl.make_figure(figs, min_im=2, hard_limit=4)
+    print("[3] clusters + figures:", os.listdir(join(figs, "clusters")))
+
+    # 4. HTML report
+    html = generate_html(join(root, "figures"), join(root, "html"))
+    print("[4] report:", html)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/diffmine-demo")
