@@ -72,13 +72,57 @@ def measure(batch: int, iters: int, warmup: int, dtype=jnp.bfloat16) -> float:
     return batch * iters / dt
 
 
+def measure_e2e_typicality(n_images: int = 16, n_samples: int = 100, image_px: int = 512) -> float:
+    """End-to-end typicality throughput (images/hr): VAE encode + N paired
+    cond/null UNet sweeps per image, on synthetic data at the production
+    config (BASELINE.md primary metric #2)."""
+    import numpy as np
+
+    from diffmining_tpu.diffusion.schedule import make_schedule
+    from diffmining_tpu.models.unet import SD15_UNET, UNet2DCondition
+    from diffmining_tpu.models.vae import SD15_VAE, AutoencoderKL
+    from diffmining_tpu.typicality.engine import TypicalityEngine
+
+    dtype = jnp.bfloat16
+    rng = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(SD15_UNET, dtype=dtype)
+    lat_shape = (1, image_px // 8, image_px // 8, 4)
+    params = unet.init(rng, jnp.zeros(lat_shape, dtype), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768), dtype))
+    engine = TypicalityEngine(
+        unet=unet, unet_params=params, schedule=make_schedule(),
+        n_samples=n_samples, t_min=0.1, t_max=0.7, chunk=4, dtype=dtype,
+    )
+    B = 4
+    lat = jax.random.normal(rng, (B,) + lat_shape[1:], dtype=jnp.float32)
+    ctx = jax.random.normal(rng, (B, 2, 77, 768), dtype=jnp.float32)
+    # warm/compile
+    _ = float(jnp.sum(engine.compute(lat, ctx, list(range(B)))[:, 0, 0, 0, 0, 0].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_images:
+        out = engine.compute(lat, ctx, list(range(done, done + B)))
+        done += B
+    _ = float(jnp.sum(out[:, 0, 0, 0, 0, 0].astype(jnp.float32)))  # host sync
+    dt = time.perf_counter() - t0
+    return n_images / dt * 3600.0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--measure-cpu-baseline", action="store_true")
+    ap.add_argument("--e2e", action="store_true", help="end-to-end typicality images/hr")
     args = ap.parse_args()
+
+    if args.e2e:
+        iph = measure_e2e_typicality()
+        print(json.dumps({
+            "metric": "typicality_images_per_hr_512px_N100",
+            "value": round(iph, 1), "unit": "images/hr", "vs_baseline": None,
+        }))
+        return
 
     if args.measure_cpu_baseline:
         jax.config.update("jax_platforms", "cpu")

@@ -161,7 +161,9 @@ class PNP:
         src_ctx = self.embed([uncond_prompt])
         for i, t in enumerate(ts):
             t_prev = ts[i + 1] if i + 1 < len(ts) else -1
-            src_lat = self._trajectory[int(t) - 1]  # x_t of the source
+            # x_t of the source; with inversion_steps < 999 (debug configs) the
+            # nearest stored level stands in for t
+            src_lat = self._trajectory[min(int(t), self._trajectory.shape[0]) - 1]
             taps = taps_fn(sd.unet_params, src_lat, jnp.asarray([t]), src_ctx)
             inj: Dict[str, jax.Array] = {}
             if i < n_f:

@@ -484,6 +484,8 @@ def main(argv=None):
     parser.add_argument("--batch_images", type=int, default=8)
     parser.add_argument("--bucket_size", type=int, default=None)
     parser.add_argument("--dont_compute", action="store_false")
+    parser.add_argument("--countries", nargs="*", default=None)  # accepted for
+    # reference CLI parity (compute.py:379 — parsed but unused there too)
     args = parser.parse_args(argv)
 
     model_path = args.model_path
