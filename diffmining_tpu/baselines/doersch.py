@@ -167,19 +167,24 @@ def dense_search(
                 best, arg = _search_block(feats, ws_j)
             best = np.asarray(best)
             arg = np.asarray(arg)
-            for k in range(K):
-                for b in range(B):
-                    v = float(best[k, b])
-                    if only_pos and v <= 0:
-                        continue
-                    item = (v, counter, make_bbox(int(arg[k, b]), (W, H)), paths[b])
-                    counter += 1
-                    if ret_ws:
-                        item = item + (np.asarray(data[b].reshape(W * H, C)[int(arg[k, b])], np.float32),)
-                    if len(heaps[k]) < top_k:
-                        heapq.heappush(heaps[k], item)
-                    elif v > heaps[k][0][0]:
-                        heapq.heapreplace(heaps[k], item)
+            # vectorized gate: only candidates that can enter a heap are
+            # visited in Python (after warmup almost none pass)
+            thresholds = np.asarray(
+                [h[0][0] if len(h) >= top_k else -np.inf for h in heaps], np.float32
+            )
+            mask = best > thresholds[:, None]
+            if only_pos:
+                mask &= best > 0
+            for k, b in np.argwhere(mask):
+                v = float(best[k, b])
+                item = (v, counter, make_bbox(int(arg[k, b]), (W, H)), paths[b])
+                counter += 1
+                if ret_ws:
+                    item = item + (np.asarray(data[b].reshape(W * H, C)[int(arg[k, b])], np.float32),)
+                if len(heaps[k]) < top_k:
+                    heapq.heappush(heaps[k], item)
+                elif v > heaps[k][0][0]:
+                    heapq.heapreplace(heaps[k], item)
     out = []
     for k in range(K):
         items = sorted(heaps[k], key=lambda x: -x[0])

@@ -100,9 +100,19 @@ class CLIPTokenizer:
 
     @classmethod
     def from_pretrained_dir(cls, path: str, model_max_length: int = 77) -> "CLIPTokenizer":
-        return cls.from_files(
-            os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt"), model_max_length
-        )
+        if os.path.isfile(os.path.join(path, "vocab.json")):
+            return cls.from_files(
+                os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt"), model_max_length
+            )
+        # some checkpoints ship only the single-file HF tokenizer.json
+        tj = os.path.join(path, "tokenizer.json")
+        if os.path.isfile(tj):
+            with open(tj, "r", encoding="utf-8") as f:
+                data = json.load(f)
+            model = data["model"]
+            merges = [tuple(m.split(" ") if isinstance(m, str) else m) for m in model["merges"]]
+            return cls(model["vocab"], merges, model_max_length)
+        raise FileNotFoundError(f"no vocab.json or tokenizer.json under {path}")
 
     def bpe(self, token: str) -> str:
         if token in self.cache:

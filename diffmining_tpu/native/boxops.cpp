@@ -48,34 +48,4 @@ int64_t non_overlap_suppress(const int64_t* boxes, const float* scores,
   return (int64_t)picked.size();
 }
 
-// Dense top-k merge for the Doersch search: given scores [K, B] and indices
-// [K, B] of per-image best positions, merge into running top-k buffers
-// (scores/slots) per detector. Buffers are maintained as simple sorted
-// arrays (k is small: 50-100).
-void topk_merge(const float* scores, const int64_t* args, int64_t K, int64_t B,
-                int64_t top_k, float* buf_scores, int64_t* buf_payload,
-                const int64_t* payload, int64_t payload_stride) {
-  for (int64_t kd = 0; kd < K; ++kd) {
-    float* bs = buf_scores + kd * top_k;
-    int64_t* bp = buf_payload + kd * top_k * payload_stride;
-    for (int64_t b = 0; b < B; ++b) {
-      const float s = scores[kd * B + b];
-      if (s <= bs[top_k - 1]) continue;
-      // find insert position (descending)
-      int64_t pos = top_k - 1;
-      while (pos > 0 && bs[pos - 1] < s) --pos;
-      // shift down
-      for (int64_t m = top_k - 1; m > pos; --m) {
-        bs[m] = bs[m - 1];
-        for (int64_t e = 0; e < payload_stride; ++e)
-          bp[m * payload_stride + e] = bp[(m - 1) * payload_stride + e];
-      }
-      bs[pos] = s;
-      bp[pos * payload_stride + 0] = args[kd * B + b];
-      for (int64_t e = 1; e < payload_stride; ++e)
-        bp[pos * payload_stride + e] = payload[b * (payload_stride - 1) + (e - 1)];
-    }
-  }
-}
-
 }  // extern "C"

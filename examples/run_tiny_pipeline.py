@@ -14,6 +14,8 @@ import os
 import sys
 from os.path import join
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 if jax.default_backend() not in ("cpu",):
