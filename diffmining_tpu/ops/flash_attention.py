@@ -70,19 +70,25 @@ def _pad_to(x, axis, m):
     return jnp.pad(x, widths)
 
 
+import os
+
+_BLOCK_Q = int(os.environ.get("DIFFMINING_FLASH_BLOCK_Q", "512"))
+_BLOCK_K = int(os.environ.get("DIFFMINING_FLASH_BLOCK_K", "512"))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, scale=None):
     """q [B,H,Lq,D], k/v [B,H,Lk,D] -> [B,H,Lq,D]. Non-causal, no mask."""
     return _flash_forward(q, k, v, scale)
 
 
-def _flash_forward(q, k, v, scale=None):
+def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     scale = scale if scale is not None else 1.0 / (d**0.5)
 
-    block_q = min(512, max(128, lq))
-    block_k = min(512, max(128, lk))
+    block_q = min(block_q or _BLOCK_Q, max(128, lq))
+    block_k = min(block_k or _BLOCK_K, max(128, lk))
 
     qq = _pad_to(_pad_to(q.reshape(b * h, lq, d), 1, block_q), 2, 128)
     kk = _pad_to(_pad_to(k.reshape(b * h, lk, d), 1, block_k), 2, 128)
