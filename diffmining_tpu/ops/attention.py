@@ -32,15 +32,16 @@ def set_attention_backend(name: str) -> None:
 
 
 def get_attention_backend() -> str:
-    if _DEFAULT_BACKEND != "auto":
-        return _DEFAULT_BACKEND
-    # Measured on v5e (B16 H8 L4096 D40, bf16): XLA's fused attention runs
-    # 14.8 ms vs 19.9 ms for our Pallas kernel — SD's head dims (40/80/160)
-    # pad to the 128-lane MXU width inside the kernel, wasting up to 3.2x of
-    # the QK^T FLOPs, while XLA's fusion handles the narrow contraction
-    # better. Default XLA; 'pallas' stays selectable (wins when logits would
-    # spill — very long sequences at head_dim 128+).
-    return "xla"
+    """Resolved backend; "auto" applies a measured batch-size crossover in
+    sdpa() (v5e, H8 L4096 D40 bf16): our Pallas flash wins at small batch
+    (9.35 vs 13.11 ms at B=8 — XLA's per-call overhead and logits
+    materialization dominate there) while XLA's fusion wins at B≥16
+    (14.8 vs 19.9 ms). jax's builtin pallas flash measured 33.8 ms;
+    jax.nn.dot_product_attention ties XLA."""
+    return _DEFAULT_BACKEND
+
+
+_PALLAS_MAX_BH = 64  # measured crossover: B*H <= 64 -> pallas wins
 
 
 def sdpa_xla(
@@ -73,7 +74,22 @@ def sdpa(
     scale: float | None = None,
 ) -> jax.Array:
     backend = get_attention_backend()
-    if backend == "pallas" and mask is None:
+    use_pallas = backend == "pallas"
+    if backend == "auto" and mask is None:
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        # self-attention over long sequences at small batch·heads: the
+        # measured regime where the flash kernel beats XLA (see
+        # get_attention_backend docstring)
+        use_pallas = (
+            on_tpu
+            and q.shape[0] * q.shape[1] <= _PALLAS_MAX_BH
+            and q.shape[2] >= 1024
+            and q.shape[2] == k.shape[2]
+        )
+    if use_pallas and mask is None:
         try:
             from diffmining_tpu.ops.flash_attention import flash_attention
 
