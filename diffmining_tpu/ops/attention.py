@@ -41,7 +41,9 @@ def get_attention_backend() -> str:
     return _DEFAULT_BACKEND
 
 
-_PALLAS_MAX_BH = 64  # measured crossover: B*H <= 64 -> pallas wins
+# measured (v5e, blocks 1024): pallas flash beats XLA for long-sequence
+# self-attention at every batch tested — 6.37 vs 13.11 ms (B8), 11.40 vs
+# 14.8 ms (B16), 22.2 ms at B32
 
 
 def sdpa_xla(
@@ -85,8 +87,7 @@ def sdpa(
         # get_attention_backend docstring)
         use_pallas = (
             on_tpu
-            and q.shape[0] * q.shape[1] <= _PALLAS_MAX_BH
-            and q.shape[2] >= 1024
+            and q.shape[2] >= 2048
             and q.shape[2] == k.shape[2]
         )
     if use_pallas and mask is None:

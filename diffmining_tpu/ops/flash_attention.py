@@ -72,8 +72,8 @@ def _pad_to(x, axis, m):
 
 import os
 
-_BLOCK_Q = int(os.environ.get("DIFFMINING_FLASH_BLOCK_Q", "512"))
-_BLOCK_K = int(os.environ.get("DIFFMINING_FLASH_BLOCK_K", "512"))
+_BLOCK_Q = int(os.environ.get("DIFFMINING_FLASH_BLOCK_Q", "1024"))
+_BLOCK_K = int(os.environ.get("DIFFMINING_FLASH_BLOCK_K", "1024"))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
