@@ -22,7 +22,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 NEG_INF = -1e30
+_BF16_EXP = _os.environ.get("DIFFMINING_FLASH_BF16_EXP", "0") == "1"
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len, block_k):
@@ -49,8 +52,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new)
-    l_ref[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    if _BF16_EXP:
+        # the kernel is VPU-bound in the softmax (1M-element exp per block
+        # pair vs ~2.7us of MXU work): bf16 exp doubles VPU lanes; m/l stay
+        # fp32 and the row-sum accumulates fp32
+        p = jnp.exp((logits - m_new).astype(jnp.bfloat16))
+        row_sum = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    else:
+        p = jnp.exp(logits - m_new)
+        row_sum = jnp.sum(p, axis=-1, keepdims=True)
+    l_ref[...] = alpha * l_prev + row_sum
     m_ref[...] = m_new
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
