@@ -1,0 +1,80 @@
+"""Fidelity harness tests + the N-convergence property of the typicality
+estimator (SURVEY §4e machinery; the cross-implementation number itself needs
+reference artifacts, PARITY.md 'validation limits')."""
+import os
+from os.path import join
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffmining_tpu.typicality.compute import SD
+from diffmining_tpu.typicality.engine import TypicalityEngine, losses_to_reference_layout
+from diffmining_tpu.utils.fidelity import (
+    compare_typicality_dirs,
+    map_correlation,
+    patch_rank_correlation,
+    pearson,
+    spearman,
+)
+
+
+def test_pearson_spearman_basics():
+    assert pearson(np.arange(10.0), np.arange(10.0)) == pytest.approx(1.0)
+    assert pearson(np.arange(10.0), -np.arange(10.0)) == pytest.approx(-1.0)
+    assert spearman([1, 2, 3], [10, 20, 30]) == pytest.approx(1.0)
+    # monotone nonlinear map preserves spearman, not pearson
+    x = np.linspace(0, 1, 20)
+    assert spearman(x, np.exp(5 * x)) == pytest.approx(1.0)
+
+
+def test_patch_rank_correlation_shared_keys():
+    a = {"p1": 1.0, "p2": 2.0, "p3": 3.0, "only_a": 9.0}
+    b = {"p1": 10.0, "p2": 30.0, "p3": 20.0, "only_b": 0.0}
+    rho, n = patch_rank_correlation(a, b)
+    assert n == 3
+    assert rho < 1.0  # p2/p3 swapped
+
+
+def test_map_correlation_self_is_one():
+    g = np.random.RandomState(0).randn(4, 2, 4, 6, 6).astype(np.float16)
+    assert map_correlation(g, g) == pytest.approx(1.0)
+
+
+def test_compare_typicality_dirs(tmp_path):
+    rng = np.random.RandomState(0)
+    for side in ("ours", "theirs"):
+        os.makedirs(tmp_path / side / "1930")
+    g = rng.randn(4, 2, 4, 6, 6).astype(np.float16)
+    np.save(tmp_path / "ours" / "1930" / "img.npy", g)
+    np.save(tmp_path / "theirs" / "1930" / "img.npy", g + rng.randn(*g.shape).astype(np.float16) * 0.01)
+    res = compare_typicality_dirs(str(tmp_path / "ours"), str(tmp_path / "theirs"))
+    assert "1930/img.npy" in res
+    assert res["__mean__"] > 0.9
+
+
+def test_n_convergence_of_typicality_estimator():
+    """More (eps,t) draws -> more stable maps: the split-half correlation of
+    the estimator must increase with N (the property that makes N=100 a
+    sensible production constant, reference compute.py:106)."""
+    sd = SD.init_tiny("ftt", ["1930"])
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4))
+    ctx_c = jax.random.normal(jax.random.PRNGKey(1), (77, 32))
+    ctx = jnp.stack([ctx_c, ctx_c * 0.5])[None]
+
+    def half_corr(n):
+        eng_a = TypicalityEngine(
+            unet=sd.unet, unet_params=sd.unet_params, schedule=sd.schedule,
+            n_samples=n, chunk=min(n, 4), t_min=0.1, t_max=0.7, dtype=jnp.float32, seed=1,
+        )
+        eng_b = TypicalityEngine(
+            unet=sd.unet, unet_params=sd.unet_params, schedule=sd.schedule,
+            n_samples=n, chunk=min(n, 4), t_min=0.1, t_max=0.7, dtype=jnp.float32, seed=2,
+        )
+        ga = losses_to_reference_layout(eng_a.compute(lat, ctx, [7])[0])
+        gb = losses_to_reference_layout(eng_b.compute(lat, ctx, [7])[0])
+        return map_correlation(ga, gb)
+
+    c_small, c_big = half_corr(4), half_corr(24)
+    assert c_big > c_small  # independent-seed agreement grows with N
