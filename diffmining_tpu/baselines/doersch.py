@@ -140,14 +140,21 @@ def dense_search(
     fold: Optional[Tuple[int, int]] = None,
     ret_ws: bool = False,
     only_pos: bool = False,
+    mesh=None,
 ) -> List[List[tuple]]:
     """For each detector, the top_k (score, bbox, path[, feature]) over all
     images (reference dense_search_cuda semantics; fold masks a deterministic
-    random subset of grid positions per shard)."""
+    random subset of grid positions per shard). With a mesh, the detector axis
+    shards over "dp" — the multi-chip replacement for the reference's
+    file-lock GPU pool (doersch.py:81-103)."""
     from safetensors.numpy import load_file
 
     K = ws.shape[0]
     ws_j = jnp.asarray(ws.astype(np.float32))
+    if mesh is not None and K % mesh.shape["dp"] == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ws_j = jax.device_put(ws_j, NamedSharding(mesh, P("dp")))
     heaps: List[List[tuple]] = [[] for _ in range(K)]
     counter = 0
     for path_id, sp in enumerate(shard_paths):

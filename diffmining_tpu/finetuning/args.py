@@ -72,6 +72,8 @@ def parser_base() -> argparse.ArgumentParser:
     # misc parity flags
     p.add_argument("--random_subset", type=int, default=None)
     p.add_argument("--num_samples_log", type=int, default=5)
+    p.add_argument("--log_previews", action="store_true",
+                   help="render DDIM sample grids at logging steps (reference cars.py:318-328)")
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--num_inference_steps", type=int, default=50)
     return p

@@ -359,11 +359,15 @@ class BaseTrainer:
                     logger.info("step %d loss %.4f", self.global_step, mean_loss)
                     metrics.log(self.global_step, train_loss=mean_loss, epoch=epoch,
                                 steps_per_sec=timer.steps_per_sec())
+                    if args.log_previews:
+                        self.save_logs(self.sample())
                 if self.global_step >= args.max_train_steps:
                     done = True
                     break
             if done:
                 break
         metrics.close()
+        if args.log_previews:
+            self.save_logs(self.sample())
         self.save_checkpoint(self.global_step)
         return self.end_training()

@@ -76,3 +76,31 @@ def test_shard_params_places_tree(mesh):
     params = {"a": jnp.zeros((8, 16)), "b": jnp.zeros((3,))}
     placed = shard_params(mesh, params)
     assert placed["a"].sharding.spec in (P("fsdp", None), P(None, "fsdp"))
+
+
+def test_dense_search_sharded_matches(mesh, tmp_path):
+    """Doersch dense search with the detector axis sharded over dp equals the
+    unsharded result."""
+    import os
+    from os.path import join
+
+    import numpy as np
+    from PIL import Image
+
+    from diffmining_tpu.baselines.doersch import FeatureStore, dense_search
+    from diffmining_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(0)
+    paths = []
+    os.makedirs(tmp_path / "imgs")
+    for i in range(2):
+        p = str(tmp_path / "imgs" / f"i{i}.jpg")
+        Image.fromarray(rng.randint(0, 255, (128, 128, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+    store = FeatureStore(str(tmp_path / "c"), str(tmp_path / "s"))
+    shards = store.build_shards(paths, "t", num_splits=1)
+    ws = rng.randn(8, 2112).astype(np.float32)
+    plain = dense_search(ws, shards, top_k=3)
+    sharded = dense_search(ws, shards, top_k=3, mesh=make_mesh(dp=4, fsdp=1))
+    for a, b in zip(plain, sharded):
+        assert [(round(x[0], 4), x[1], x[2]) for x in a] == [(round(x[0], 4), x[1], x[2]) for x in b]
