@@ -134,3 +134,36 @@ def test_t_range_respected(sd):
     _, t = sample_noise_and_t(jax.random.PRNGKey(0), 512, (4, 4, 4), 0.1, 0.7)
     t = np.asarray(t)
     assert t.min() >= 100 and t.max() < 700
+
+
+def test_bucket_size_rescale_rules():
+    """bucket_size floors the free long side to a multiple while the domain's
+    short side stays exact (utils/images.rescale_for_domain)."""
+    from PIL import Image as PILImage
+
+    from diffmining_tpu.utils.images import rescale_for_domain
+
+    img = PILImage.new("RGB", (300, 200))  # w > h
+    out = rescale_for_domain(img, "cars", bucket_size=64)
+    assert out.height == 256  # cars short side exact
+    assert out.width % 64 == 0
+    out2 = rescale_for_domain(img, "ftt", bucket_size=64)
+    assert out2.size == (256, 192)  # native res, bucketed both dims
+
+
+def test_pipeline_with_bucketing(sd, ftt_dataset, tmp_path_factory):
+    """Sweep with bucket_size produces artifacts at the bucketed latent size
+    and stays idempotent."""
+    from os.path import join as j
+
+    typ_path = str(tmp_path_factory.mktemp("typ_bucket"))
+    typ = Typicality(
+        "ftt", None, ftt_dataset, typ_path, t_min=0.1, t_max=0.7, sd=sd, N=4,
+        batch_images=4, bucket_size=16,
+    )
+    dec = DECADES[0]
+    items = [(p, dec) for p in typ.get_seeds_(dec)]
+    typ.D[dec].compute_batch(items)
+    arr = typ.D[dec](items[0][0])
+    # 32px images bucket to 32 (multiple of 16) -> latent 16 with the tiny VAE
+    assert arr.shape == (4, 2, 4, 16, 16)
