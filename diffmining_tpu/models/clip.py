@@ -103,9 +103,9 @@ class CLIPEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        h = nn.LayerNorm(epsilon=self.config.layer_norm_eps, dtype=jnp.float32, name="layer_norm1")(x)
+        h = nn.LayerNorm(epsilon=self.config.layer_norm_eps, dtype=self.dtype, name="layer_norm1")(x)
         x = x + CLIPAttention(self.config, dtype=self.dtype, name="self_attn")(h.astype(self.dtype), mask)
-        h = nn.LayerNorm(epsilon=self.config.layer_norm_eps, dtype=jnp.float32, name="layer_norm2")(x)
+        h = nn.LayerNorm(epsilon=self.config.layer_norm_eps, dtype=self.dtype, name="layer_norm2")(x)
         return x + CLIPMLP(self.config, dtype=self.dtype, name="mlp")(h.astype(self.dtype))
 
 
@@ -126,7 +126,7 @@ class CLIPTextModel(nn.Module):
         causal = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None]
         for i in range(cfg.num_layers):
             x = CLIPEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x, causal)
-        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="final_layer_norm")(x).astype(
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="final_layer_norm")(x).astype(
             self.dtype
         )
 
@@ -156,10 +156,10 @@ class CLIPVisionModel(nn.Module):
         n_pos = (cfg.image_size // cfg.patch_size) ** 2 + 1
         pos = self.param("position_embedding", nn.initializers.normal(0.02), (n_pos, cfg.hidden_size))
         x = x + pos[None, : x.shape[1]].astype(self.dtype)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="pre_layrnorm")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="pre_layrnorm")(x).astype(self.dtype)
         for i in range(cfg.num_layers):
             x = CLIPEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x)
-        post = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="post_layernorm")(x).astype(self.dtype)
+        post = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="post_layernorm")(x).astype(self.dtype)
         proj = self.param("visual_projection", nn.initializers.normal(0.02), (cfg.hidden_size, cfg.projection_dim))
         pooled = post[:, 0] @ proj.astype(self.dtype)
         tokens = post[:, 1:] @ proj.astype(self.dtype)
