@@ -28,7 +28,7 @@ import pickle
 import random
 from collections import defaultdict
 from os.path import join
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -38,7 +38,7 @@ from diffmining_tpu.ops.kmeans import KMeans
 from diffmining_tpu.ops.pool import top_patches, typicality_map
 from diffmining_tpu.typicality.compute import SD, D, Typicality
 from diffmining_tpu.typicality.dift import SDFeaturizer
-from diffmining_tpu.utils.figures import add_border, hcat, make_grid, vcat
+from diffmining_tpu.utils.figures import add_border, hcat, vcat
 from diffmining_tpu.utils.images import image_to_array, image_uid
 
 import jax.numpy as jnp

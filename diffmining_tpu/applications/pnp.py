@@ -25,7 +25,7 @@ from __future__ import annotations
 import argparse
 import os
 from os.path import join
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

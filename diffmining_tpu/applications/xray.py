@@ -133,8 +133,6 @@ class XRayTypicality:
             seed=seed, n_samples=N, t_min=0.0, t_max=1.0, dtype=sd.dtype,
         )
         # embeddings: [disease..., "no finding", ""] all embedded once
-        from diffmining_tpu.models.tokenizer import CLIPTokenizer  # noqa: F401
-
         prompts = [xray_prompt(c) for c in ["no finding", ""] + self.diseases]
         ids = jnp.asarray(sd.tokenizer(prompts))
         cf = np.asarray(sd.clip.apply(sd.clip_params, ids).astype(jnp.float32))

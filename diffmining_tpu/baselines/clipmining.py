@@ -19,7 +19,7 @@ import os
 import pickle
 from collections import defaultdict
 from os.path import join
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,12 +27,7 @@ import numpy as np
 import pandas as pd
 from PIL import Image
 
-from diffmining_tpu.models.clip import (
-    CLIPTextConfig,
-    CLIPTextModelWithProjection,
-    CLIPVisionConfig,
-    CLIPVisionModel,
-)
+from diffmining_tpu.models.clip import CLIPTextModelWithProjection, CLIPVisionModel
 from diffmining_tpu.models.tokenizer import CLIPTokenizer, tiny_tokenizer
 from diffmining_tpu.ops.kmeans import KMeans
 from diffmining_tpu.ops.pool import box_pool, top_patches, upsample_bilinear

@@ -29,7 +29,7 @@ import pickle
 import random
 from collections import defaultdict
 from os.path import join
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,7 @@ from PIL import Image
 from diffmining_tpu.ops.hog import hoglab_features, normalize_features
 from diffmining_tpu.ops.svm import train_svm
 from diffmining_tpu.typicality.templates import get_decade
-from diffmining_tpu.utils.figures import add_border, hcat, vcat
+from diffmining_tpu.utils.figures import hcat, vcat
 
 
 def iou(a, b) -> float:

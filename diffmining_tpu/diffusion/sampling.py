@@ -7,12 +7,10 @@ steps, CFG 7.5, negative prompt) and the PnP sample loop
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from diffmining_tpu.diffusion.schedule import Schedule, ddim_step, ddim_timesteps, eps_from_pred
 

@@ -15,31 +15,28 @@ Checkpoint scheme mirrors the reference's two tiers (SURVEY.md §5.4):
 from __future__ import annotations
 
 import dataclasses
-import json
 import logging
 import math
 import os
 import re
 from os.path import join
-from typing import Any, Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from diffmining_tpu.diffusion.sampling import sample_ddim
-from diffmining_tpu.diffusion.schedule import make_schedule
 from diffmining_tpu.finetuning.datasets import DATASETS, BatchIterator
 from diffmining_tpu.finetuning.train import (
-    TrainState,
     TrainStepBuilder,
     make_lr_schedule,
     make_optimizer,
 )
-from diffmining_tpu.models.clip import CLIP_VIT_L_TEXT, CLIPTextModel
+from diffmining_tpu.models.clip import CLIPTextModel
 from diffmining_tpu.models.tokenizer import CLIPTokenizer, tiny_tokenizer
-from diffmining_tpu.models.unet import SD15_UNET, UNet2DCondition
-from diffmining_tpu.models.vae import SD15_VAE, AutoencoderKL
+from diffmining_tpu.models.unet import UNet2DCondition
+from diffmining_tpu.models.vae import AutoencoderKL
 from diffmining_tpu.parallel.mesh import make_mesh
 from diffmining_tpu.utils.export import save_pipeline_dir
 from diffmining_tpu.utils.figures import concat_images_width

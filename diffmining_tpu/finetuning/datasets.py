@@ -16,9 +16,8 @@ import os
 import queue
 import random
 import threading
-from collections import defaultdict
 from os.path import join
-from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterator, List, Tuple
 
 import numpy as np
 from PIL import Image

@@ -23,7 +23,7 @@ where {path} is e.g. "down.0.tf.1", "mid.tf.0", "up.1.tf.2".
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ fast path (native/boxops) when built.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import pickle
 import random
 from collections import defaultdict
 from os.path import join
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd

@@ -13,8 +13,7 @@ Defaults match the reference: t=261 generic / t=161 in the mining pipeline
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +21,7 @@ import numpy as np
 
 from diffmining_tpu.diffusion.schedule import add_noise
 from diffmining_tpu.typicality.compute import SD
-from diffmining_tpu.utils.images import image_to_array, image_uid
+from diffmining_tpu.utils.images import image_to_array
 
 
 class SDFeaturizer:

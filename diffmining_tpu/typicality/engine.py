@@ -21,14 +21,14 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from diffmining_tpu.diffusion.schedule import Schedule, add_noise
-from diffmining_tpu.models.unet import UNet2DCondition, UNetConfig
+from diffmining_tpu.models.unet import UNet2DCondition
 
 
 def sample_noise_and_t(

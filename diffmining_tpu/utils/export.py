@@ -9,7 +9,6 @@ by actual diffusers elsewhere).
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import re

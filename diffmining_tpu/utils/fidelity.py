@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 import os
 from os.path import join
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

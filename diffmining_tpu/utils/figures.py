@@ -4,7 +4,6 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-import numpy as np
 from PIL import Image, ImageColor
 
 

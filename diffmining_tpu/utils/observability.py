@@ -16,7 +16,7 @@ import contextlib
 import json
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 
 class Timer:
