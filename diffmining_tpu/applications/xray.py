@@ -237,6 +237,31 @@ def visualize_boxes(gt_box, dm: np.ndarray, pil: Image.Image) -> Image.Image:
     return combo
 
 
+def merge_triplets(pt: str, ft: str, data_path: str, triplet_path: str) -> None:
+    """Stack original / pre-finetune overlay / post-finetune overlay per image
+    (reference compute.py:393-409)."""
+    os.makedirs(triplet_path, exist_ok=True)
+    for disease in os.listdir(pt):
+        if disease in ("auc.json", "report.json") or not os.path.isdir(join(pt, disease)):
+            continue
+        os.makedirs(join(triplet_path, disease), exist_ok=True)
+        for image in os.listdir(join(pt, disease)):
+            if not image.lower().endswith((".png", ".jpg")):
+                continue
+            try:
+                img_pt = Image.open(join(pt, disease, image))
+                img_ft = Image.open(join(ft, disease, image))
+                img_data = Image.open(join(data_path, "images", image))
+            except FileNotFoundError:
+                continue
+            half = img_pt.width // 2
+            out = Image.new("RGB", (half, img_pt.height * 3))
+            out.paste(img_data.convert("RGB"), (0, 0))
+            out.paste(img_pt.crop((half, 0, img_pt.width, img_pt.height)), (0, img_pt.height))
+            out.paste(img_ft.crop((half, 0, img_ft.width, img_ft.height)), (0, img_pt.height * 2))
+            out.save(join(triplet_path, disease, image))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="X-ray localization eval (reference xray/compute.py CLI)")
     p.add_argument("-i", "--gt_path", default="dataset/CXR8")

@@ -18,6 +18,18 @@ def hcat(pils: Sequence[Image.Image]) -> Image.Image:
     return out
 
 
+def hcat_rgba_border(pils, border: int = 1) -> Image.Image:
+    """RGBA concat with transparent separators (reference utils.py:31-45)."""
+    height = pils[0].height
+    total = sum(p.width for p in pils) + (len(pils) - 1) * border
+    out = Image.new(pils[0].mode, (total, height), (0, 0, 0, 0))
+    x = 0
+    for i, p in enumerate(pils):
+        out.paste(p, (x, 0))
+        x += p.width + (border if i < len(pils) - 1 else 0)
+    return out
+
+
 def vcat(pils: Sequence[Image.Image], vertical_spacing: int = 0) -> Image.Image:
     width = pils[0].width
     total = sum(p.height for p in pils) + vertical_spacing * (len(pils) - 1)
