@@ -133,33 +133,50 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None):
     return out[:, :lq, :d].reshape(b, h, lq, d)
 
 
-def _xla_attention(q, k, v, scale):
-    d = q.shape[-1]
-    scale = scale if scale is not None else 1.0 / (d**0.5)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-    w = jax.nn.softmax(logits, axis=-1)
-    return w, jnp.einsum("bhqk,bhkd->bhqd", w.astype(q.dtype), v)
-
-
 def _fwd(q, k, v, scale):
     return _flash_forward(q, k, v, scale), (q, k, v)
 
 
-def _bwd(scale, res, g):
-    # recompute-with-XLA backward: attention here is a small fraction of UNet
-    # step FLOPs, and inference (the hot path) never calls this
+def _bwd(scale, res, g, chunk: int = 512):
+    """Recompute backward, chunked over q blocks so only [*, chunk, Lk]
+    attention weights materialize at a time (the naive backward's full fp32
+    weight tensor is 4.3 GB at 512px/B8 and OOMs at higher res). Training's
+    hot path is the UNet fwd+bwd convs; this keeps memory flat instead of
+    hand-writing a Pallas backward (tracked for a later round)."""
     q, k, v = res
     d = q.shape[-1]
     s = scale if scale is not None else 1.0 / (d**0.5)
-    w, _ = _xla_attention(q, k, v, s)
-    g32 = g.astype(jnp.float32)
+    lq = q.shape[2]
+    chunk = min(chunk, lq)
+    pad = (-lq) % chunk
+    if pad:
+        q_p = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        g_p = jnp.pad(g, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    else:
+        q_p, g_p = q, g
+    n_chunks = q_p.shape[2] // chunk
+    k32 = k.astype(jnp.float32)
     v32 = v.astype(jnp.float32)
-    dw = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", w, g32)
-    # softmax backward
-    dlogits = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", dlogits, k.astype(jnp.float32)) * s
-    dk = jnp.einsum("bhqk,bhqd->bhkd", dlogits, q.astype(jnp.float32)) * s
+
+    def step(carry, qc_gc):
+        dk_acc, dv_acc = carry
+        q_c, g_c = qc_gc  # [B,H,chunk,D]
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q_c, k, preferred_element_type=jnp.float32) * s
+        w = jax.nn.softmax(logits, axis=-1)
+        g32 = g_c.astype(jnp.float32)
+        dw = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
+        dv_acc = dv_acc + jnp.einsum("bhqk,bhqd->bhkd", w, g32)
+        dlog = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+        dq_c = jnp.einsum("bhqk,bhkd->bhqd", dlog, k32) * s
+        dk_acc = dk_acc + jnp.einsum("bhqk,bhqd->bhkd", dlog, q_c.astype(jnp.float32)) * s
+        return (dk_acc, dv_acc), dq_c
+
+    # scan over q chunks: [n, B, H, chunk, D]
+    qs = q_p.reshape(*q.shape[:2], n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+    gs = g_p.reshape(*q.shape[:2], n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+    zeros = jnp.zeros(k.shape, jnp.float32)
+    (dk, dv), dqs = jax.lax.scan(step, (zeros, zeros), (qs, gs))
+    dq = dqs.transpose(1, 2, 0, 3, 4).reshape(q_p.shape)[:, :, :lq]
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 

@@ -48,3 +48,19 @@ def test_flash_gradient_matches_xla():
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3)
+
+
+def test_chunked_backward_matches_unchunked():
+    """The q-chunked backward must equal the full-materialization gradients
+    for non-divisible sequence lengths too."""
+    from diffmining_tpu.ops.flash_attention import _bwd
+
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 2, 130, 16), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 96, 16), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 96, 16), jnp.float32)
+    g = jnp.asarray(rng.randn(1, 2, 130, 16), jnp.float32)
+    small = _bwd(None, (q, k, v), g, chunk=32)   # 130 -> 5 chunks with padding
+    full = _bwd(None, (q, k, v), g, chunk=130)   # single chunk
+    for a, b in zip(small, full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
