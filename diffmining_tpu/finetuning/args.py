@@ -45,7 +45,7 @@ def parser_base() -> argparse.ArgumentParser:
     p.add_argument("--adam_epsilon", type=float, default=1e-08)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--use_8bit_adam", action="store_true",
-                   help="TPU equivalent: optax 8-bit-state adam (falls back to adamw)")
+                   help="int8 optimizer-moment storage (ops/optim8bit; ~4x less optimizer HBM)")
     # precision / hardware
     p.add_argument("--mixed_precision", type=str, default="bf16", choices=["no", "fp16", "bf16"])
     p.add_argument("--allow_tf32", action="store_true", help="inert on TPU (MXU is bf16-native)")

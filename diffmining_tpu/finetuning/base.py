@@ -182,6 +182,7 @@ class BaseTrainer:
         self.optimizer = make_optimizer(
             schedule_fn, args.adam_beta1, args.adam_beta2, args.adam_weight_decay,
             args.adam_epsilon, args.max_grad_norm, args.gradient_accumulation_steps,
+            use_8bit=args.use_8bit_adam,
         )
         self.builder = TrainStepBuilder(
             unet=self.unet, vae=self.vae, clip=self.clip, schedule=self.schedule,

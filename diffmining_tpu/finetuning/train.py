@@ -76,11 +76,16 @@ def make_optimizer(
     eps: float = 1e-8,
     max_grad_norm: float = 1.0,
     accum_steps: int = 1,
+    use_8bit: bool = False,
 ) -> optax.GradientTransformation:
-    tx = optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(lr_schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay),
-    )
+    if use_8bit:
+        # int8 moment storage (reference --use_8bit_adam via bitsandbytes)
+        from diffmining_tpu.ops.optim8bit import adamw_8bit
+
+        adam = adamw_8bit(lr_schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay)
+    else:
+        adam = optax.adamw(lr_schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay)
+    tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), adam)
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx

@@ -54,3 +54,28 @@ def test_golden_loss_grid(losses):
 def test_golden_typicality_map(losses):
     dm = np.asarray(typicality_map(jnp.asarray(losses), 16, 16, 4, 4))
     _check("tiny_typicality_map", dm.astype(np.float32), rtol=1e-3, atol=1e-5)
+
+
+def test_golden_dift_feature():
+    """DIFT patch embedding pinned (guards UNet tap path + featurizer RNG)."""
+    from diffmining_tpu.typicality.dift import SDFeaturizer
+
+    sd = SD.init_tiny("ftt", ["1930"], seed=3)
+    feat = SDFeaturizer(sd, seed=42)
+    rng = np.random.RandomState(5)
+    img = rng.rand(32, 32, 3).astype(np.float32) * 2 - 1
+    emb = feat.patch_feature(img, "Portrait.", (4, 4, 20, 20), t=161, ensemble_size=2, uid=9)
+    _check("tiny_dift_patch", emb.astype(np.float32), rtol=5e-3, atol=5e-4)
+
+
+def test_golden_ddim_sample():
+    """2-step CFG sample pinned (guards sampler + schedule integration)."""
+    from diffmining_tpu.diffusion.sampling import sample_ddim
+
+    sd = SD.init_tiny("ftt", ["1930"], seed=3)
+    eps_fn = lambda p, x, t, c: sd.unet.apply(p, x, t, c)
+    lat = jax.random.normal(jax.random.PRNGKey(11), (1, 4, 4, 4))
+    cond = jax.random.normal(jax.random.PRNGKey(12), (1, 77, 32))
+    out = sample_ddim(eps_fn, sd.unet_params, sd.schedule, lat, cond, jnp.zeros_like(cond),
+                      num_inference_steps=2, guidance_scale=7.5)
+    _check("tiny_ddim_sample", np.asarray(out, np.float32), rtol=5e-3, atol=5e-4)

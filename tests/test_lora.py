@@ -77,3 +77,27 @@ def test_remat_same_outputs(sd):
         return jnp.sum(unet_r.apply(p, x, t, ctx) ** 2)
     g = jax.grad(loss)(sd.unet_params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
+def test_8bit_adam_train_step(sd):
+    """--use_8bit_adam path: a step runs, params move, state moments are int8."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffmining_tpu.finetuning.train import TrainStepBuilder, make_lr_schedule, make_optimizer
+
+    opt = make_optimizer(make_lr_schedule("constant", 1e-3, 0), use_8bit=True)
+    b = TrainStepBuilder(
+        unet=sd.unet, vae=sd.vae, clip=sd.clip, schedule=sd.schedule, optimizer=opt,
+        vae_params=sd.vae_params, clip_params=sd.clip_params,
+    )
+    state = b.init_state(sd.unet_params)
+    # moment storage is int8
+    leaves = jax.tree_util.tree_leaves(state.opt_state)
+    assert any(l.dtype == jnp.int8 for l in leaves if hasattr(l, "dtype"))
+    step = b.build()
+    before = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    state, loss = step(state, jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 77), jnp.int32), jax.random.PRNGKey(0))
+    after = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert np.isfinite(float(loss))
+    assert np.abs(after - before).max() > 0
