@@ -130,11 +130,15 @@ class SD:
         rng = jax.random.PRNGKey(seed)
         k1, k2, k3 = jax.random.split(rng, 3)
         unet = UNet2DCondition(unet_config, dtype=dtype)
-        latent = jnp.zeros((1, image_size // 8, image_size // 8, unet_config.in_channels))
+        # init at a small spatial size: conv/linear param shapes don't depend
+        # on it, and initializing the full VAE at 512px compiles a huge graph
+        init_px = min(image_size, 64)
+        f = 2 ** (len(vae_config.block_out_channels) - 1)
+        latent = jnp.zeros((1, init_px // f, init_px // f, unet_config.in_channels))
         ctx = jnp.zeros((1, 77, unet_config.cross_attention_dim))
         unet_params = unet.init(k1, latent, jnp.zeros((1,), jnp.int32), ctx)
         vae = AutoencoderKL(vae_config, dtype=dtype)
-        vae_params = vae.init(k2, jnp.zeros((1, image_size, image_size, 3)), method=AutoencoderKL.encode_decode)
+        vae_params = vae.init(k2, jnp.zeros((1, init_px, init_px, 3)), method=AutoencoderKL.encode_decode)
         clip = CLIPTextModel(clip_config, dtype=dtype)
         clip_params = clip.init(k3, jnp.zeros((1, 77), jnp.int32))
         return cls(
