@@ -1,4 +1,4 @@
-"""Pallas TPU flash-attention (forward) for the UNet's attention layers.
+"""Pallas TPU flash-attention (forward + backward) for the UNet's attention.
 
 TPU-native replacement for xformers memory_efficient_attention (reference
 enables it on every UNet: typicality/compute.py:71-72, finetuning/
@@ -8,10 +8,13 @@ the 128-lane width and short key lengths are masked, so one kernel covers all
 layers.
 
 Forward is the standard online-softmax tiling (fp32 accumulators in VMEM,
-one (batch·head) × q-block × k-block grid). Backward is provided via
-custom_vjp that recomputes attention with the XLA path — the typicality/DIFT
-inference sweeps (the product's hot path) never take gradients, and training
-still benefits from the Pallas forward.
+one (batch·head) × q-block × k-block grid); under differentiation it also
+emits the per-row logsumexp. Backward is two Pallas kernels (flash-attention
+v2 style): a dq kernel gridded q-outer/k-inner and a dk/dv kernel gridded
+k-outer/q-inner, both re-forming p = exp(logits − lse) from the residual
+logsumexp so no [Lq, Lk] weight tensor ever materializes. A pure-JAX
+q-chunked recompute backward remains as the non-TPU fallback
+(DIFFMINING_FLASH_BWD=pallas|recompute|auto).
 """
 from __future__ import annotations
 
@@ -28,7 +31,7 @@ NEG_INF = -1e30
 _BF16_EXP = _os.environ.get("DIFFMINING_FLASH_BF16_EXP", "0") == "1"
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len, block_k):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale, kv_len, block_k):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
@@ -69,7 +72,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
 
     @pl.when(j == nj - 1)
     def _finish():
-        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
+        l_safe = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[...] + jnp.log(l_safe)
 
 
 def _pad_to(x, axis, m):
@@ -93,7 +98,7 @@ def flash_attention(q, k, v, scale=None):
     return _flash_forward(q, k, v, scale)
 
 
-def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None):
+def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None, return_lse=False):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     scale = scale if scale is not None else 1.0 / (d**0.5)
@@ -108,9 +113,12 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None):
     lk_p = kk.shape[1]
 
     grid = (bh, lq_p // block_q, lk_p // block_k)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_len=lk, block_k=block_k),
-        out_shape=jax.ShapeDtypeStruct((bh, lq_p, dp), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lq_p, dp), q.dtype),
+            jax.ShapeDtypeStruct((bh, lq_p, 1), jnp.float32),
+        ],
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -119,7 +127,10 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None):
                 pl.BlockSpec((1, block_k, dp), lambda bb, i, j: (bb, j, 0)),
                 pl.BlockSpec((1, block_k, dp), lambda bb, i, j: (bb, j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, dp), lambda bb, i, j: (bb, i, 0)),
+            out_specs=[
+                pl.BlockSpec((1, block_q, dp), lambda bb, i, j: (bb, i, 0)),
+                pl.BlockSpec((1, block_q, 1), lambda bb, i, j: (bb, i, 0)),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, 1), jnp.float32),  # m
                 pltpu.VMEM((block_q, 1), jnp.float32),  # l
@@ -130,11 +141,177 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(qq, kk, vv)
-    return out[:, :lq, :d].reshape(b, h, lq, d)
+    o = out[:, :lq, :d].reshape(b, h, lq, d)
+    if return_lse:
+        return o, lse[:, :lq, 0].reshape(b, h, lq)
+    return o
 
 
 def _fwd(q, k, v, scale):
-    return _flash_forward(q, k, v, scale), (q, k, v)
+    o, lse = _flash_forward(q, k, v, scale, return_lse=True)
+    return o, (q, k, v, o, lse)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, acc_ref, *, scale, kv_len, block_k):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]  # [bq, 1]
+    delta = dl_ref[0]  # [bq, 1]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < kv_len, logits, NEG_INF)
+    p = jnp.exp(logits - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta)).astype(k.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(j == nj - 1)
+    def _finish():
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale, kv_len, block_k):
+    i = pl.program_id(2)
+    ni = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]  # [bq, 1]
+    delta = dl_ref[0]  # [bq, 1]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    col = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < kv_len, logits, NEG_INF)
+    p = jnp.exp(logits - lse)
+    # dv += p^T @ do   (contract the q dimension)
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(i == ni - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+# measured (v5e, B8 H8 L4096 D40): 1024x1024 = 18.3 ms fwd+bwd vs 21.3 at
+# 512x512 and 45.7 for XLA sdpa grad — see BENCH_NOTES.md
+_BWD_BLOCK_Q = int(os.environ.get("DIFFMINING_FLASH_BWD_BLOCK_Q", "1024"))
+_BWD_BLOCK_K = int(os.environ.get("DIFFMINING_FLASH_BWD_BLOCK_K", "1024"))
+
+
+def _bwd_pallas(scale, res, g, block_q=None, block_k=None):
+    """Flash-attention backward as two Pallas kernels re-forming the softmax
+    from the forward's logsumexp (no [Lq, Lk] weight tensor in HBM)."""
+    q, k, v, o, lse = res
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    s = scale if scale is not None else 1.0 / (d**0.5)
+    block_q = min(block_q or _BWD_BLOCK_Q, max(128, lq))
+    block_k = min(block_k or _BWD_BLOCK_K, max(128, lk))
+
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [b,h,lq]
+
+    qq = _pad_to(_pad_to(q.reshape(b * h, lq, d), 1, block_q), 2, 128)
+    gg = _pad_to(_pad_to(g.reshape(b * h, lq, d), 1, block_q), 2, 128)
+    kk = _pad_to(_pad_to(k.reshape(b * h, lk, d), 1, block_k), 2, 128)
+    vv = _pad_to(_pad_to(v.reshape(b * h, lk, d), 1, block_k), 2, 128)
+    ll = _pad_to(lse.reshape(b * h, lq, 1), 1, block_q)
+    dd = _pad_to(delta.reshape(b * h, lq, 1), 1, block_q)
+    bh, lq_p, dp = qq.shape
+    lk_p = kk.shape[1]
+    n_q, n_k = lq_p // block_q, lk_p // block_k
+
+    row_spec = lambda ix: pl.BlockSpec((1, block_q, dp), ix)
+    col_spec = lambda ix: pl.BlockSpec((1, block_k, dp), ix)
+    one_spec = lambda ix: pl.BlockSpec((1, block_q, 1), ix)
+
+    # dq: q-outer, k-inner
+    by_i = lambda bb, i, j: (bb, i, 0)
+    by_j = lambda bb, i, j: (bb, j, 0)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=s, kv_len=lk, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_p, dp), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(bh, n_q, n_k),
+            in_specs=[row_spec(by_i), col_spec(by_j), col_spec(by_j), row_spec(by_i), one_spec(by_i), one_spec(by_i)],
+            out_specs=row_spec(by_i),
+            scratch_shapes=[pltpu.VMEM((block_q, dp), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qq, kk, vv, gg, ll, dd)
+
+    # dk/dv: k-outer, q-inner (grid index 1 is the k block, index 2 the q block)
+    kv_by_j = lambda bb, j, i: (bb, j, 0)
+    q_by_i = lambda bb, j, i: (bb, i, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=s, kv_len=lk, block_k=block_k),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lk_p, dp), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk_p, dp), v.dtype),
+        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(bh, n_k, n_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dp), q_by_i),
+                pl.BlockSpec((1, block_k, dp), kv_by_j),
+                pl.BlockSpec((1, block_k, dp), kv_by_j),
+                pl.BlockSpec((1, block_q, dp), q_by_i),
+                pl.BlockSpec((1, block_q, 1), q_by_i),
+                pl.BlockSpec((1, block_q, 1), q_by_i),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, dp), kv_by_j),
+                pl.BlockSpec((1, block_k, dp), kv_by_j),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, dp), jnp.float32),
+                pltpu.VMEM((block_k, dp), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qq, kk, vv, gg, ll, dd)
+
+    dq = dq[:, :lq, :d].reshape(b, h, lq, d)
+    dk = dk[:, :lk, :d].reshape(b, h, lk, d)
+    dv = dv[:, :lk, :d].reshape(b, h, lk, d)
+    return dq, dk, dv
 
 
 def _bwd(scale, res, g, chunk: int = 512):
@@ -180,4 +357,19 @@ def _bwd(scale, res, g, chunk: int = 512):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-flash_attention.defvjp(_fwd, _bwd)
+def _bwd_rule(scale, res, g):
+    """auto: Pallas backward on TPU, chunked-recompute JAX backward elsewhere
+    (the Pallas kernels also run under pltpu.force_tpu_interpret_mode with
+    DIFFMINING_FLASH_BWD=pallas, which is how tests check gradient parity)."""
+    impl = os.environ.get("DIFFMINING_FLASH_BWD", "auto")
+    if impl not in ("auto", "pallas", "recompute"):
+        raise ValueError(f"DIFFMINING_FLASH_BWD={impl!r}: expected auto|pallas|recompute")
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "recompute"
+    q, k, v, o, lse = res
+    if impl == "pallas":
+        return _bwd_pallas(scale, res, g)
+    return _bwd(scale, (q, k, v), g)
+
+
+flash_attention.defvjp(_fwd, _bwd_rule)

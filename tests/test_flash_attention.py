@@ -50,6 +50,50 @@ def test_flash_gradient_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "b,h,lq,lk,d",
+    [
+        (1, 2, 256, 256, 40),   # self-attn shape, head pad 40->128
+        (1, 1, 256, 77, 64),    # cross-attn, masked kv padding
+        (2, 1, 130, 130, 32),   # non-multiple seq length
+    ],
+)
+def test_pallas_backward_matches_xla(b, h, lq, lk, d, monkeypatch):
+    """The two-kernel Pallas backward (dq + dk/dv from the saved logsumexp)
+    must reproduce XLA's softmax-attention gradients."""
+    monkeypatch.setenv("DIFFMINING_FLASH_BWD", "pallas")
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(b, h, lq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(sdpa_xla(q, k, v) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3)
+
+
+def test_forward_lse_matches_xla():
+    from diffmining_tpu.ops.flash_attention import _flash_forward
+
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(1, 2, 130, 40), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 77, 40), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 77, 40), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        _, lse = _flash_forward(q, k, v, return_lse=True)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(40.0)
+    want = jax.scipy.special.logsumexp(logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
 def test_chunked_backward_matches_unchunked():
     """The q-chunked backward must equal the full-materialization gradients
     for non-divisible sequence lengths too."""
