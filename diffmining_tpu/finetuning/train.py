@@ -143,12 +143,16 @@ class TrainStepBuilder:
 
     def build(self) -> Callable:
         vae, clip, unet, schedule, optimizer = self.vae, self.clip, self.unet, self.schedule, self.optimizer
-        vae_params, clip_params = self.vae_params, self.clip_params
         use_ema, ema_max_decay = self.use_ema, self.ema_max_decay
         T = schedule.num_train_timesteps
         sf = vae.config.scaling_factor
+        lora_active = self.lora_rank is not None
 
-        def train_step(state: TrainState, images, tokens, rng):
+        # frozen params enter as jit ARGUMENTS, not closure constants: closed-
+        # over arrays are embedded into the serialized HLO, which bloats every
+        # compile by ~800 MB (VAE+CLIP, plus the 3.4 GB dense UNet under LoRA)
+        # and overflows the axon relay's remote-compile request limit
+        def train_step(state: TrainState, images, tokens, rng, vae_params, clip_params, lora_base):
             """images [B,H,W,3] fp32 in [-1,1]; tokens [B,77] int32."""
             k_lat, k_noise, k_t = jax.random.split(jax.random.fold_in(rng, state.step), 3)
 
@@ -163,9 +167,6 @@ class TrainStepBuilder:
                 target = noise
             else:
                 target = get_velocity(schedule, latents, noise, t)
-
-            lora_base = self.lora_base
-            lora_active = self.lora_rank is not None
 
             def loss_fn(params):
                 if lora_active:
@@ -198,10 +199,18 @@ class TrainStepBuilder:
             mesh = self.mesh
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("dp"))
-            return jax.jit(
+            jitted = jax.jit(
                 train_step,
-                in_shardings=(repl, data, data, repl),
+                in_shardings=(repl, data, data, repl, repl, repl, repl),
                 out_shardings=(repl, repl),
                 donate_argnums=(0,),
             )
-        return jax.jit(train_step, donate_argnums=(0,))
+        else:
+            jitted = jax.jit(train_step, donate_argnums=(0,))
+
+        builder = self
+
+        def step(state, images, tokens, rng):
+            return jitted(state, images, tokens, rng, builder.vae_params, builder.clip_params, builder.lora_base)
+
+        return step
