@@ -37,6 +37,9 @@ Injection = Dict[str, jax.Array]
 # statistics in fp32 internally regardless (force_float32_reductions), and
 # emitting fp32 norm outputs only to cast them back to bf16 doubles HBM
 # traffic on every norm (measured +3.8% end-to-end from bf16 norm outputs).
+# bf16 GroupNorm statistics (force_float32_reductions=False) were also
+# measured: no throughput change (118.10 vs 118.08 passes/s) — the fp32 stat
+# reduction converts fuse for free, so stats stay fp32 for accuracy.
 
 
 @dataclasses.dataclass(frozen=True)

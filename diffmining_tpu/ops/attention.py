@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 
 _DEFAULT_BACKEND = os.environ.get("DIFFMINING_ATTN_BACKEND", "auto")
+if _DEFAULT_BACKEND not in ("xla", "pallas", "auto"):
+    raise ValueError(
+        f"DIFFMINING_ATTN_BACKEND={_DEFAULT_BACKEND!r}: expected xla|pallas|auto"
+    )
 
 
 def set_attention_backend(name: str) -> None:
@@ -82,12 +86,12 @@ def sdpa(
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
             on_tpu = False
-        # self-attention over long sequences at small batch·heads: the
-        # measured regime where the flash kernel beats XLA (see
-        # get_attention_backend docstring)
+        # self-attention L >= 1024: the measured crossover with 1024-blocks
+        # (v5e B16 bf16): L1024 D80 pallas 1.34 vs XLA 2.13 ms; L4096 D40
+        # 10.9 vs 11.0; L256 D160 XLA wins 0.62 vs 0.72 — see BENCH_NOTES.md
         use_pallas = (
             on_tpu
-            and q.shape[2] >= 2048
+            and q.shape[2] >= 1024
             and q.shape[2] == k.shape[2]
         )
     if use_pallas and mask is None:
