@@ -19,6 +19,13 @@ Injection/collection keys (stable public contract, used by applications/pnp.py):
   "up.{i}.res.{j}"        — output of ResnetBlock j of up-block i
   "{path}.attn1.q" / ".k" — self-attention q/k after head-split, [B,H,L,D]
 where {path} is e.g. "down.0.tf.1", "mid.tf.0", "up.1.tf.2".
+
+An injection value may also be a `(value, gate)` tuple where `gate` is a
+scalar boolean array: the activation is replaced only where the gate is true
+(`jnp.where`). This lets one compiled graph serve a per-step injection
+schedule — PnP scans all 50 denoise steps in a single `lax.scan` body with
+the res/attn gates as scanned inputs instead of tracing one UNet per
+injection regime.
 """
 from __future__ import annotations
 
@@ -31,7 +38,16 @@ import jax.numpy as jnp
 
 from diffmining_tpu.ops.attention import merge_heads, sdpa, split_heads
 
-Injection = Dict[str, jax.Array]
+Injection = Dict[str, Any]  # value, or (value, scalar-bool gate)
+
+
+def _apply_injection(current: jax.Array, injected) -> jax.Array:
+    """Replace `current` with the injected activation; tuple form carries a
+    scalar boolean gate selecting injected vs current per call."""
+    if isinstance(injected, tuple):
+        value, gate = injected
+        return jnp.where(gate, jnp.broadcast_to(value, current.shape).astype(current.dtype), current)
+    return jnp.broadcast_to(injected, current.shape).astype(current.dtype)
 
 # Norm output dtype follows the module compute dtype: flax computes the
 # statistics in fp32 internally regardless (force_float32_reductions), and
@@ -136,7 +152,7 @@ class ResnetBlock(nn.Module):
         # batch entry then adds its own shortcut (reference pnp.py:345-350
         # injects hidden_states before `input_tensor + hidden_states`).
         if tap and injection is not None and tap in injection:
-            h = jnp.broadcast_to(injection[tap], h.shape).astype(h.dtype)
+            h = _apply_injection(h, injection[tap])
         if tap and collect is not None:
             collect[tap] = h
         if in_ch != self.out_channels:
@@ -174,10 +190,8 @@ class CrossAttention(nn.Module):
         if injection is not None and f"{tap}.q" in injection:
             # PnP: every batch entry attends with the source image's q/k
             # (reference pnp.py:424-432 overwrote uncond/cond q,k with source's).
-            src_q = injection[f"{tap}.q"]
-            src_k = injection[f"{tap}.k"]
-            q = jnp.broadcast_to(src_q, q.shape).astype(q.dtype)
-            k = jnp.broadcast_to(src_k, k.shape).astype(k.dtype)
+            q = _apply_injection(q, injection[f"{tap}.q"])
+            k = _apply_injection(k, injection[f"{tap}.k"])
         if collect is not None:
             collect[f"{tap}.q"] = q
             collect[f"{tap}.k"] = k
@@ -273,6 +287,23 @@ class Downsample(nn.Module):
         return nn.Conv(self.channels, (3, 3), strides=2, padding=1, dtype=self.dtype, name="conv")(x)
 
 
+def nearest_resize(x: jax.Array, th: int, tw: int) -> jax.Array:
+    """Nearest-neighbor resize with torch `F.interpolate(mode="nearest")`
+    semantics: src = floor(dst * in/out). jax.image.resize("nearest") uses
+    center-aligned rounding instead; the two agree ONLY at exact integer
+    scale factors — diffusers forwards odd upsample sizes for inputs that
+    aren't multiples of 2^k (reference dift.py:44-56,146-147), where they
+    diverge. Indices are static, so this lowers to a free XLA gather."""
+    b, h, w, c = x.shape
+    if th == 2 * h and tw == 2 * w:
+        return jax.image.resize(x, (b, th, tw, c), method="nearest")
+    import numpy as np
+
+    rows = np.floor(np.arange(th) * (h / th)).astype(np.int32)
+    cols = np.floor(np.arange(tw) * (w / tw)).astype(np.int32)
+    return x[:, rows][:, :, cols]
+
+
 class Upsample(nn.Module):
     channels: int
     dtype: Any = jnp.float32
@@ -281,7 +312,7 @@ class Upsample(nn.Module):
     def __call__(self, x: jax.Array, out_size: Optional[Tuple[int, int]] = None) -> jax.Array:
         b, h, w, c = x.shape
         th, tw = out_size if out_size is not None else (h * 2, w * 2)
-        x = jax.image.resize(x, (b, th, tw, c), method="nearest")
+        x = nearest_resize(x, th, tw)
         return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
@@ -388,11 +419,14 @@ class UNet2DCondition(nn.Module):
                         ),
                         x, f"up.{i}.tf.{j}",
                     )
-            if i in up_ft_indices:
-                up_ft[i] = x
             if i < n_blocks - 1:
                 out_size = skips[-1].shape[1:3] if skips else None
                 x = Upsample(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x, out_size)
+            # DIFT taps the FULL up-block output, i.e. after the block's
+            # upsampler (reference dift.py:134-165: `sample = upsample_block(...)`
+            # runs the upsamplers inside the block, THEN `up_ft[i] = sample`).
+            if i in up_ft_indices:
+                up_ft[i] = x
 
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x).astype(self.dtype)

@@ -27,12 +27,15 @@ def test_unet_eps_shape(unet_setup):
 
 def test_unet_feature_taps(unet_setup):
     """Feature taps replace the reference's forked DIFT forward
-    (diffmining/typicality/dift.py:23-169): up_ft[i] is up-block i's output."""
+    (diffmining/typicality/dift.py:23-169): up_ft[i] is up-block i's FULL
+    output, i.e. after that block's upsampler (dift.py:134-165 runs
+    `sample = upsample_block(...)` — upsamplers included — then taps).
+    Pinned against the torch oracle in test_torch_transcription_parity.py."""
     unet, params, x, t, ctx = unet_setup
     out = unet.apply(params, x, t, ctx, up_ft_indices=(0, 1))
     ft = out["up_ft"]
-    # tiny config: 2 blocks, block 0 at bottleneck res (8), block 1 at full res (16)
-    assert ft[0].shape == (2, 8, 8, 64)
+    # tiny config: 2 blocks; block 0 taps post-upsample (16), block 1 at full res
+    assert ft[0].shape == (2, 16, 16, 64)
     assert ft[1].shape == (2, 16, 16, 32)
 
 
