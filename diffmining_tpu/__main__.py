@@ -13,6 +13,8 @@ surface; reference: scripts/typicality.sh chains them):
     clipmining CLIP patch-ranking baseline
     html       figure-tree HTML report
     fidelity   compare typicality artifact trees
+    verify_checkpoint  validate a converted pipeline dir (structure/forward/
+                       probes/fidelity) — see utils/verify_checkpoint.py
 """
 from __future__ import annotations
 
@@ -72,6 +74,10 @@ def main() -> None:
         from diffmining_tpu.utils.fidelity import main as m
 
         m(argv)
+    elif cmd == "verify_checkpoint":
+        from diffmining_tpu.utils.verify_checkpoint import main as m
+
+        raise SystemExit(m(argv))
     else:
         raise SystemExit(f"unknown command {cmd!r}\n{__doc__}")
 

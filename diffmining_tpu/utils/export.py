@@ -70,7 +70,11 @@ def unconvert_unet(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
         n = n.replace("ff.net_0_proj.", "ff.net.0.proj.")
         n = n.replace("ff.net_2.", "ff.net.2.")
         tn, tw = _leaf_to_torch(n, w)
-        out[tn] = tw.astype(np.float32)
+        # safetensors' numpy save_file writes the raw buffer WITHOUT
+        # honoring strides: a transposed (non-C-contiguous) tensor
+        # round-trips SCRAMBLED, silently. Caught by verify_checkpoint's
+        # activation probes; astype(order='K') does NOT fix the layout.
+        out[tn] = np.ascontiguousarray(tw, dtype=np.float32)
     return out
 
 
@@ -87,7 +91,11 @@ def unconvert_vae(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
         n = re.sub(r"^(encoder|decoder)\.mid_attn\.", r"\1.mid_block.attentions.0.", n)
         n = n.replace(".to_out_0.", ".to_out.0.")
         tn, tw = _leaf_to_torch(n, w)
-        out[tn] = tw.astype(np.float32)
+        # safetensors' numpy save_file writes the raw buffer WITHOUT
+        # honoring strides: a transposed (non-C-contiguous) tensor
+        # round-trips SCRAMBLED, silently. Caught by verify_checkpoint's
+        # activation probes; astype(order='K') does NOT fix the layout.
+        out[tn] = np.ascontiguousarray(tw, dtype=np.float32)
     return out
 
 
@@ -96,15 +104,19 @@ def unconvert_clip_text(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     out = {}
     for name, w in flat.items():
         if name == "token_embedding.embedding":
-            out["text_model.embeddings.token_embedding.weight"] = w.astype(np.float32)
+            out["text_model.embeddings.token_embedding.weight"] = np.ascontiguousarray(w, dtype=np.float32)
             continue
         if name == "position_embedding":
-            out["text_model.embeddings.position_embedding.weight"] = w.astype(np.float32)
+            out["text_model.embeddings.position_embedding.weight"] = np.ascontiguousarray(w, dtype=np.float32)
             continue
         n = re.sub(r"^layers_(\d+)\.", r"encoder.layers.\1.", name)
         n = "text_model." + n
         tn, tw = _leaf_to_torch(n, w)
-        out[tn] = tw.astype(np.float32)
+        # safetensors' numpy save_file writes the raw buffer WITHOUT
+        # honoring strides: a transposed (non-C-contiguous) tensor
+        # round-trips SCRAMBLED, silently. Caught by verify_checkpoint's
+        # activation probes; astype(order='K') does NOT fix the layout.
+        out[tn] = np.ascontiguousarray(tw, dtype=np.float32)
     return out
 
 

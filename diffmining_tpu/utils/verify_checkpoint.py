@@ -1,0 +1,210 @@
+"""One-command real-checkpoint verification (BASELINE.md fidelity target).
+
+The weight converter (utils/weights.py) has full round-trip test coverage but
+— in a zero-egress image — has never seen a real SD-v1.5 tensor-name set. The
+day real weights land, this command turns "is the conversion right?" into one
+invocation:
+
+    python -m diffmining_tpu verify_checkpoint <pipeline_dir> \
+        [--probes probes.npz] [--theirs ref_typicality_dir] \
+        [--which cars --dataset data_dir] [--sweep_images 2] [--n_samples 100]
+
+Stages (each prints PASS/FAIL; exit code 1 on any FAIL):
+  1. convert    — load the diffusers-layout dir through load_pipeline_dir.
+  2. structure  — converted pytrees must match each flax module's init tree
+                  exactly (paths AND shapes, via jax.eval_shape — no compute).
+                  Catches every rename/transpose drift on real tensor names.
+  3. forward    — tiny deterministic forward of CLIP/VAE/UNet; finiteness.
+  4. probes     — optional activation parity vs torch recordings (record with
+                  scripts_tpu/record_probes.py on a diffusers machine; NCHW
+                  fp32 npz). Reports max|Δ| + pearson per module.
+  5. fidelity   — optional 2-image typicality mini-sweep compared against a
+                  reference artifact tree (mean per-pixel map correlation —
+                  the >0.95 number; RNG streams differ so correlation, not
+                  bitwise equality, is the oracle, SURVEY.md §7 hard-part 2).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import tempfile
+from os.path import join
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+PROBE_KEYS = ("text_hidden", "vae_mean", "unet_eps")
+
+
+def _tree_paths(tree: Dict[str, Any], prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], Tuple[int, ...]]:
+    out: Dict[Tuple[str, ...], Tuple[int, ...]] = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_tree_paths(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = tuple(v.shape)
+    return out
+
+
+def check_structure(name: str, converted: Dict[str, Any], init_tree: Dict[str, Any]) -> bool:
+    got, want = _tree_paths(converted), _tree_paths(init_tree)
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    shape_bad = sorted(k for k in set(got) & set(want) if got[k] != want[k])
+    ok = not (missing or extra or shape_bad)
+    print(f"[structure:{name}] {'PASS' if ok else 'FAIL'} ({len(want)} params)")
+    for k in missing[:8]:
+        print(f"    missing from checkpoint: {'.'.join(k)} {want[k]}")
+    for k in extra[:8]:
+        print(f"    unexpected in checkpoint: {'.'.join(k)} {got[k]}")
+    for k in shape_bad[:8]:
+        print(f"    shape mismatch {'.'.join(k)}: ckpt {got[k]} vs model {want[k]}")
+    return ok
+
+
+def pearson(a: np.ndarray, b: np.ndarray) -> float:
+    from diffmining_tpu.utils.fidelity import pearson as p
+
+    return p(a, b)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="verify a converted SD pipeline checkpoint")
+    ap.add_argument("pipeline_dir")
+    ap.add_argument("--probes", default=None, help="npz of torch activations (scripts_tpu/record_probes.py)")
+    ap.add_argument("--probe_tol", type=float, default=5e-2, help="max|Δ| gate for probe parity (bf16 compute)")
+    ap.add_argument("--theirs", default=None, help="reference typicality artifact tree to correlate against")
+    ap.add_argument("--which", default="cars")
+    ap.add_argument("--dataset", default=None, help="dataset dir for the mini-sweep")
+    ap.add_argument("--sweep_images", type=int, default=2)
+    ap.add_argument("--n_samples", type=int, default=100)
+    ap.add_argument("--t_min", type=float, default=0.1)
+    ap.add_argument("--t_max", type=float, default=0.7)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffmining_tpu.models.clip import CLIPTextModel
+    from diffmining_tpu.models.unet import UNet2DCondition
+    from diffmining_tpu.models.vae import AutoencoderKL
+    from diffmining_tpu.utils.weights import load_pipeline_dir
+
+    ok = True
+
+    # 1. convert ------------------------------------------------------------
+    p = load_pipeline_dir(args.pipeline_dir)
+    print(f"[convert] PASS (unet/vae/text_encoder/scheduler loaded from {args.pipeline_dir})")
+
+    unet = UNet2DCondition(p["unet"]["config"], dtype=jnp.float32)
+    vae = AutoencoderKL(p["vae"]["config"], dtype=jnp.float32)
+    clip = CLIPTextModel(p["text_encoder"]["config"], dtype=jnp.float32)
+    D = p["unet"]["config"].cross_attention_dim
+    f = 2 ** (len(p["vae"]["config"].block_out_channels) - 1)
+
+    # 2. structure -----------------------------------------------------------
+    rng = jax.random.PRNGKey(0)
+    lat = jax.ShapeDtypeStruct((1, 8, 8, p["unet"]["config"].in_channels), jnp.float32)
+    t_s = jax.ShapeDtypeStruct((1,), jnp.int32)
+    ctx_s = jax.ShapeDtypeStruct((1, 77, D), jnp.float32)
+    unet_init = jax.eval_shape(unet.init, rng, lat, t_s, ctx_s)
+    img_s = jax.ShapeDtypeStruct((1, 8 * f, 8 * f, p["vae"]["config"].in_channels), jnp.float32)
+    vae_init = jax.eval_shape(lambda r, x: vae.init(r, x, method=AutoencoderKL.encode_decode), rng, img_s)
+    ids_s = jax.ShapeDtypeStruct((1, 77), jnp.int32)
+    clip_init = jax.eval_shape(clip.init, rng, ids_s)
+    ok &= check_structure("unet", p["unet"]["params"], unet_init["params"])
+    ok &= check_structure("vae", p["vae"]["params"], vae_init["params"])
+    ok &= check_structure("text_encoder", p["text_encoder"]["params"], clip_init["params"])
+
+    # 3. forward -------------------------------------------------------------
+    from diffmining_tpu.models.tokenizer import CLIPTokenizer, tiny_tokenizer
+
+    tok_dir = p["tokenizer_dir"]
+    if os.path.isfile(join(tok_dir, "vocab.json")):
+        tokenizer = CLIPTokenizer.from_pretrained_dir(tok_dir)
+    else:
+        tokenizer = tiny_tokenizer(p["text_encoder"]["config"].vocab_size)
+    try:
+        ids = jnp.asarray(tokenizer([""]))
+        hidden = clip.apply({"params": p["text_encoder"]["params"]}, ids)
+        lat0 = jnp.zeros((1, 8, 8, p["unet"]["config"].in_channels), jnp.float32)
+        eps = unet.apply({"params": p["unet"]["params"]}, lat0, jnp.asarray([261], jnp.int32), hidden)
+        img0 = jnp.zeros((1, 8 * f, 8 * f, p["vae"]["config"].in_channels), jnp.float32)
+        mean, logvar = vae.apply({"params": p["vae"]["params"]}, img0, method=AutoencoderKL.encode)
+        fin = all(bool(jnp.isfinite(x).all()) for x in (hidden, eps, mean, logvar))
+        print(f"[forward] {'PASS' if fin else 'FAIL'} (clip/unet/vae finite; eps std {float(jnp.std(eps)):.4f})")
+        ok &= fin
+    except Exception as e:  # a structure failure usually implies this one
+        print(f"[forward] FAIL ({type(e).__name__}: {str(e).splitlines()[0][:120]})")
+        ok = False
+        if args.probes:
+            print("[probe:*] SKIP (forward failed)")
+            args.probes = None
+
+    # 4. probes --------------------------------------------------------------
+    if args.probes:
+        from diffmining_tpu.diffusion.schedule import add_noise
+
+        z = np.load(args.probes, allow_pickle=True)
+        image = np.asarray(z["image"], np.float32)  # [H,W,3] in [-1,1]
+        prompt = str(z["prompt"])
+        t = int(z["t"])
+        ids = jnp.asarray(tokenizer([prompt]))
+        got_hidden = np.asarray(clip.apply({"params": p["text_encoder"]["params"]}, ids))[0]
+        got_mean = np.asarray(
+            vae.apply({"params": p["vae"]["params"]}, jnp.asarray(image)[None], method=AutoencoderKL.encode)[0]
+        )[0].transpose(2, 0, 1)
+        # deterministic latent: posterior mean × sf, zero noise at t
+        sf = p["vae"]["config"].scaling_factor
+        lat = jnp.asarray(got_mean.transpose(1, 2, 0))[None] * sf
+        noisy = add_noise(p["schedule"], lat, jnp.zeros_like(lat), jnp.asarray([t]))
+        got_eps = np.asarray(
+            unet.apply({"params": p["unet"]["params"]}, noisy, jnp.asarray([t], jnp.int32),
+                       jnp.asarray(got_hidden)[None])
+        )[0].transpose(2, 0, 1)
+        for key, got in (("text_hidden", got_hidden), ("vae_mean", got_mean), ("unet_eps", got_eps)):
+            want = np.asarray(z[key], np.float32)
+            d = float(np.abs(got - want).max())
+            r = pearson(got, want)
+            good = d < args.probe_tol and r > 0.999
+            print(f"[probe:{key}] {'PASS' if good else 'FAIL'} max|Δ|={d:.2e} pearson={r:.6f}")
+            ok &= good
+
+    # 5. fidelity mini-sweep ---------------------------------------------------
+    if args.theirs:
+        if not args.dataset:
+            raise SystemExit("--theirs requires --dataset/--which for the mini-sweep")
+        from diffmining_tpu.typicality.compute import Typicality
+        from diffmining_tpu.utils.fidelity import compare_typicality_dirs
+
+        with tempfile.TemporaryDirectory() as tmp:
+            typ = Typicality(
+                args.which, args.pipeline_dir, args.dataset, tmp,
+                N=args.n_samples, t_min=args.t_min, t_max=args.t_max,
+            )
+            n = 0
+            for c in typ.categories():
+                if n >= args.sweep_images:
+                    break
+                seeds = typ.get_seeds_(c)[: args.sweep_images - n]
+                # prefer images the reference tree has, so correlations exist
+                have = set()
+                ref_cat = join(args.theirs, c)
+                if os.path.isdir(ref_cat):
+                    have = {os.path.splitext(f)[0] for f in os.listdir(ref_cat)}
+                    preferred = [s for s in typ.get_seeds_(c) if os.path.splitext(os.path.basename(s))[0] in have]
+                    seeds = (preferred or seeds)[: args.sweep_images - n]
+                typ.D[c].compute_batch([(s, c) for s in seeds])
+                n += len(seeds)
+            res = compare_typicality_dirs(tmp, args.theirs)
+        mean = res.get("__mean__", 0.0)
+        good = mean > 0.95 and len(res) > 1
+        print(f"[fidelity] {'PASS' if good else 'FAIL'} mean map correlation {mean:.4f} over {max(len(res) - 1, 0)} image(s)")
+        ok &= good
+
+    print(f"verify_checkpoint: {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
