@@ -31,7 +31,13 @@ NEG_INF = -1e30
 _BF16_EXP = _os.environ.get("DIFFMINING_FLASH_BF16_EXP", "0") == "1"
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale, kv_len, block_k):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, kv_len, block_k, masked):
+    # q arrives PRE-SCALED (scale folded into q outside the kernel: one
+    # [L,D] multiply replaces a [bq,bk] multiply per block pair — the kernel
+    # is VPU-bound in the softmax elementwise chain, so every per-logit op
+    # counts). `masked` is static: self-attention at power-of-two L has no
+    # key padding, and the iota+compare+select chain (3 VPU ops/logit) is
+    # ~25% of the kernel's VPU work.
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
@@ -46,9 +52,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
     v = v_ref[0]  # [bk, d]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
-    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col < kv_len, logits, NEG_INF)
+    )  # [bq, bk]
+    if masked:
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, NEG_INF)
 
     m_prev = m_ref[...]  # [bq, 1]
     l_prev = l_ref[...]
@@ -106,7 +113,9 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None, return_lse=F
     block_q = min(block_q or _BLOCK_Q, max(128, lq))
     block_k = min(block_k or _BLOCK_K, max(128, lk))
 
-    qq = _pad_to(_pad_to(q.reshape(b * h, lq, d), 1, block_q), 2, 128)
+    # fold the softmax scale into q (see kernel comment)
+    qs = (q * jnp.asarray(scale, q.dtype)).reshape(b * h, lq, d)
+    qq = _pad_to(_pad_to(qs, 1, block_q), 2, 128)
     kk = _pad_to(_pad_to(k.reshape(b * h, lk, d), 1, block_k), 2, 128)
     vv = _pad_to(_pad_to(v.reshape(b * h, lk, d), 1, block_k), 2, 128)
     bh, lq_p, dp = qq.shape
@@ -114,7 +123,7 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None, return_lse=F
 
     grid = (bh, lq_p // block_q, lk_p // block_k)
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=lk, block_k=block_k),
+        functools.partial(_flash_kernel, kv_len=lk, block_k=block_k, masked=lk != lk_p),
         out_shape=[
             jax.ShapeDtypeStruct((bh, lq_p, dp), q.dtype),
             jax.ShapeDtypeStruct((bh, lq_p, 1), jnp.float32),
@@ -152,7 +161,9 @@ def _fwd(q, k, v, scale):
     return o, (q, k, v, o, lse)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, acc_ref, *, scale, kv_len, block_k):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, acc_ref, *, scale, kv_len, block_k, masked):
+    # q arrives pre-scaled (matching the forward's lse); the remaining single
+    # `scale` converts d(loss)/d(q·scale) to d(loss)/dq once per q block.
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
@@ -168,9 +179,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, acc_ref
     delta = dl_ref[0]  # [bq, 1]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col < kv_len, logits, NEG_INF)
+    )
+    if masked:
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, NEG_INF)
     p = jnp.exp(logits - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -178,14 +190,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, acc_ref
     ds = (p * (dp - delta)).astype(k.dtype)
     acc_ref[...] += jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
 
     @pl.when(j == nj - 1)
     def _finish():
-        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale, kv_len, block_k):
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, kv_len, block_k, masked):
+    # q pre-scaled: dk = ds^T @ (q·scale) IS d(loss)/dk — no trailing scale.
     i = pl.program_id(2)
     ni = pl.num_programs(2)
 
@@ -202,9 +215,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dk_ref, dv_ref
     delta = dl_ref[0]  # [bq, 1]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
-    col = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col < kv_len, logits, NEG_INF)
+    )  # [bq, bk]
+    if masked:
+        col = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, NEG_INF)
     p = jnp.exp(logits - lse)
     # dv += p^T @ do   (contract the q dimension)
     dv_acc[...] += jax.lax.dot_general(
@@ -216,7 +230,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dk_ref, dv_ref
     ds = (p * (dp - delta)).astype(q.dtype)
     dk_acc[...] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
 
     @pl.when(i == ni - 1)
     def _finish():
@@ -242,7 +256,9 @@ def _bwd_pallas(scale, res, g, block_q=None, block_k=None):
 
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [b,h,lq]
 
-    qq = _pad_to(_pad_to(q.reshape(b * h, lq, d), 1, block_q), 2, 128)
+    # same pre-scaled q as the forward (the residual lse was computed on it)
+    qs_ = (q * jnp.asarray(s, q.dtype)).reshape(b * h, lq, d)
+    qq = _pad_to(_pad_to(qs_, 1, block_q), 2, 128)
     gg = _pad_to(_pad_to(g.reshape(b * h, lq, d), 1, block_q), 2, 128)
     kk = _pad_to(_pad_to(k.reshape(b * h, lk, d), 1, block_k), 2, 128)
     vv = _pad_to(_pad_to(v.reshape(b * h, lk, d), 1, block_k), 2, 128)
@@ -260,7 +276,7 @@ def _bwd_pallas(scale, res, g, block_q=None, block_k=None):
     by_i = lambda bb, i, j: (bb, i, 0)
     by_j = lambda bb, i, j: (bb, j, 0)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=s, kv_len=lk, block_k=block_k),
+        functools.partial(_bwd_dq_kernel, scale=s, kv_len=lk, block_k=block_k, masked=lk != lk_p),
         out_shape=jax.ShapeDtypeStruct((bh, lq_p, dp), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -278,7 +294,7 @@ def _bwd_pallas(scale, res, g, block_q=None, block_k=None):
     kv_by_j = lambda bb, j, i: (bb, j, 0)
     q_by_i = lambda bb, j, i: (bb, i, 0)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=s, kv_len=lk, block_k=block_k),
+        functools.partial(_bwd_dkv_kernel, kv_len=lk, block_k=block_k, masked=lk != lk_p),
         out_shape=[
             jax.ShapeDtypeStruct((bh, lk_p, dp), k.dtype),
             jax.ShapeDtypeStruct((bh, lk_p, dp), v.dtype),
