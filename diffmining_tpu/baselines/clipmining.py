@@ -7,10 +7,13 @@ mined and clustered with k-means(32) ranked by median score — all the same
 constants as the reference. Compute is jitted JAX: the vision tower runs once
 per image, scoring/pooling/suppression reuse ops/pool.
 
-The 336px center-crop limitation of the reference (learned positional
-embeddings; clipmining/README.md) applies to our ViT too — images are
-center-cropped to `crop` (default 512 as the reference does, with position
-embeddings interpolated when the grid differs).
+Input sizing follows the reference processor (clipmining/ranking.py:24 with
+do_center_crop=False: shortest edge resized to 336, README "rescaling an
+input image to 336x336"): images are resized to `crop` on the shortest side
+then center-cropped square. `crop` defaults to the vision config's
+image_size; other values work too — CLIPVisionModel interpolates its learned
+position embeddings when the patch grid differs (the reference's hard 336px
+limit, clipmining/README.md last paragraph, is lifted).
 """
 from __future__ import annotations
 
@@ -40,8 +43,16 @@ CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
 
 
-def center_crop(img: Image.Image, size: int) -> Image.Image:
+def resize_center_crop(img: Image.Image, size: int) -> Image.Image:
+    """Shortest side → `size`, then center-crop square (the reference
+    processor's effective transform on the square street-view inputs)."""
     w, h = img.size
+    if min(w, h) != size:
+        if w <= h:
+            w, h = size, max(size, round(h * size / w))
+        else:
+            w, h = max(size, round(w * size / h)), size
+        img = img.resize((w, h), Image.BICUBIC)
     left, top = max(0, (w - size) // 2), max(0, (h - size) // 2)
     return img.crop((left, top, left + size, top + size))
 
@@ -57,15 +68,15 @@ class CLIPRankCluster:
         text: Optional[CLIPTextModelWithProjection] = None,
         text_params=None,
         tokenizer: Optional[CLIPTokenizer] = None,
-        crop: int = 512,
+        crop: Optional[int] = None,
     ):
         assert mode in ("diff", "sim")
         self.mode = mode
-        self.crop = crop
         self.dataset_path = dataset_path
         self.cache_path = join(cache_path, mode)
         self.load_paths_geo(dataset_path)
         self.vision = vision if vision is not None else CLIPVisionModel()
+        self.crop = crop if crop is not None else self.vision.config.image_size
         self.vision_params = vision_params
         self.text = text if text is not None else CLIPTextModelWithProjection()
         self.text_params = text_params
@@ -101,7 +112,7 @@ class CLIPRankCluster:
     # --- encode ---
 
     def load_image(self, path: str) -> Image.Image:
-        return center_crop(Image.open(path).convert("RGB"), self.crop)
+        return resize_center_crop(Image.open(path).convert("RGB"), self.crop)
 
     def _preprocess(self, img: Image.Image) -> np.ndarray:
         arr = np.asarray(img, dtype=np.float32) / 255.0
@@ -131,11 +142,12 @@ class CLIPRankCluster:
         scores_2d = scores.reshape(ph, pw, 2)
         up = np.asarray(upsample_bilinear(jnp.asarray(scores_2d.transpose(2, 0, 1)), *size))  # [2,H,W]
         if self.mode == "diff":
-            # softmax over [country, ""] then country channel, pooled diff
-            e = np.exp(up - up.max(axis=0, keepdims=True))
-            soft = e / e.sum(axis=0, keepdims=True)
-            pooled = np.asarray(box_pool(jnp.asarray(soft[0])[None], kx, ky))[0] - np.asarray(
-                box_pool(jnp.asarray(soft[1])[None], kx, ky)
+            # pooled RAW-similarity difference country − "": the reference's
+            # live diff path (ranking.py:78-79; the softmax at ranking.py:77
+            # is computed into a variable that is never read — dead code we
+            # deliberately do not reproduce)
+            pooled = np.asarray(box_pool(jnp.asarray(up[0])[None], kx, ky))[0] - np.asarray(
+                box_pool(jnp.asarray(up[1])[None], kx, ky)
             )[0]
         else:
             pooled = np.asarray(box_pool(jnp.asarray(up[0])[None], kx, ky))[0]
@@ -220,11 +232,31 @@ def main(argv=None):
     p.add_argument("--cache", type=str, default="clip")
     p.add_argument("--mode", type=str, default="diff", choices=["diff", "sim"])
     p.add_argument("--clip_dir", type=str, default=None,
-                   help="dir with converted StreetCLIP weights (vision+text safetensors)")
+                   help="dir with CLIPModel weights (vision+text safetensors + config.json), e.g. converted StreetCLIP")
+    p.add_argument("--crop", type=int, default=None,
+                   help="input size; defaults to the vision tower's native image_size")
     args = p.parse_args(argv)
-    rc = CLIPRankCluster(args.dataset, args.cache, args.mode)
     if args.clip_dir:
-        raise NotImplementedError("load converted CLIP weights via utils/weights.py (convert_clip_*)")
+        from diffmining_tpu.utils.weights import load_clip_dir
+
+        bundle = load_clip_dir(args.clip_dir)
+        vision = CLIPVisionModel(bundle["vision"]["config"])
+        text = CLIPTextModelWithProjection(
+            bundle["text"]["config"], projection_dim=bundle["text"]["projection_dim"]
+        )
+        tok_dir = bundle["tokenizer_dir"]
+        if os.path.isfile(join(tok_dir, "vocab.json")):
+            tokenizer = CLIPTokenizer.from_pretrained_dir(tok_dir)
+        else:
+            raise FileNotFoundError(f"no tokenizer files (vocab.json) in {tok_dir}")
+        rc = CLIPRankCluster(
+            args.dataset, args.cache, args.mode,
+            vision=vision, vision_params={"params": bundle["vision"]["params"]},
+            text=text, text_params={"params": bundle["text"]["params"]},
+            tokenizer=tokenizer, crop=args.crop,
+        )
+    else:
+        rc = CLIPRankCluster(args.dataset, args.cache, args.mode, crop=args.crop)
     rc.clustering(k_per_image=5, k=1000, num_clusters=32, hard_limit=6)
 
 

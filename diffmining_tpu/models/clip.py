@@ -63,6 +63,33 @@ TINY_CLIP_VISION = CLIPVisionConfig(
 )
 
 
+def _torch_bicubic_matrix(in_size: int, out_size: int) -> jnp.ndarray:
+    """[out, in] interpolation matrix reproducing torch
+    F.interpolate(mode="bicubic", align_corners=False) exactly (cubic kernel
+    a=-0.75, half-pixel centers, border-replicate). jax.image.resize's
+    bicubic is the Catmull-Rom kernel (a=-0.5) — numerically different."""
+    import numpy as np
+
+    a = -0.75
+
+    def k(x):
+        x = abs(x)
+        if x <= 1:
+            return (a + 2) * x**3 - (a + 3) * x**2 + 1
+        if x < 2:
+            return a * (x**3 - 5 * x**2 + 8 * x - 4)
+        return 0.0
+
+    W = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        src = (i + 0.5) * in_size / out_size - 0.5
+        j0 = int(np.floor(src))
+        frac = src - j0
+        for t in range(-1, 3):
+            W[i, min(max(j0 + t, 0), in_size - 1)] += k(t - frac)
+    return jnp.asarray(W)
+
+
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
@@ -150,12 +177,24 @@ class CLIPVisionModel(nn.Module):
             cfg.hidden_size, (cfg.patch_size, cfg.patch_size), strides=cfg.patch_size,
             padding="VALID", use_bias=False, dtype=self.dtype, name="patch_embedding",
         )(pixels.astype(self.dtype))
+        gh, gw = h // cfg.patch_size, w // cfg.patch_size
         x = x.reshape(b, -1, cfg.hidden_size)
         cls = self.param("class_embedding", nn.initializers.normal(0.02), (cfg.hidden_size,))
         x = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype), (b, 1, cfg.hidden_size)), x], axis=1)
-        n_pos = (cfg.image_size // cfg.patch_size) ** 2 + 1
-        pos = self.param("position_embedding", nn.initializers.normal(0.02), (n_pos, cfg.hidden_size))
-        x = x + pos[None, : x.shape[1]].astype(self.dtype)
+        g0 = cfg.image_size // cfg.patch_size
+        pos = self.param("position_embedding", nn.initializers.normal(0.02), (g0 * g0 + 1, cfg.hidden_size))
+        if (gh, gw) != (g0, g0):
+            # Learned position embeddings bind the tower to its training grid
+            # (the reference's 336px center-crop limit, clipmining/README.md);
+            # bicubic interpolation of the patch-grid embeddings (transformers'
+            # interpolate_pos_encoding) extends it to other input sizes.
+            # Shapes are static, so this resolves at trace time.
+            grid0 = pos[1:].reshape(g0, g0, cfg.hidden_size).astype(jnp.float32)
+            wr, wc = _torch_bicubic_matrix(g0, gh), _torch_bicubic_matrix(g0, gw)
+            grid = jnp.einsum("ij,jkc->ikc", wr, jnp.einsum("kl,jlc->jkc", wc, grid0))
+            grid = grid.reshape(gh * gw, cfg.hidden_size)
+            pos = jnp.concatenate([pos[:1].astype(jnp.float32), grid], axis=0)
+        x = x + pos[None].astype(self.dtype)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="pre_layrnorm")(x).astype(self.dtype)
         for i in range(cfg.num_layers):
             x = CLIPEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x)

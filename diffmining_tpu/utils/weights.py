@@ -185,6 +185,47 @@ def convert_clip_text(tensors: Tensors) -> Dict[str, Any]:
     return params
 
 
+def convert_clip_vision(tensors: Tensors) -> Dict[str, Any]:
+    """transformers CLIPVisionModel(WithProjection) state dict → our
+    CLIPVisionModel pytree (reference clipmining/ranking.py runs the torch
+    tower; this converter feeds ours from the same checkpoint files)."""
+    params: Dict[str, Any] = {}
+    for name, w in tensors.items():
+        n = name
+        if n.startswith("vision_model."):
+            n = n[len("vision_model."):]
+        if n == "embeddings.class_embedding":
+            _set(params, ("class_embedding",), np.asarray(w, np.float32))
+            continue
+        if n == "embeddings.patch_embedding.weight":
+            _set(params, ("patch_embedding", "kernel"), np.asarray(w, np.float32).transpose(2, 3, 1, 0))
+            continue
+        if n == "embeddings.position_embedding.weight":
+            _set(params, ("position_embedding",), np.asarray(w, np.float32))
+            continue
+        if n.startswith("embeddings.position_ids"):
+            continue
+        if n == "visual_projection.weight":
+            _set(params, ("visual_projection",), np.asarray(w, np.float32).transpose(1, 0))
+            continue
+        n = re.sub(r"^encoder\.layers\.(\d+)\.", r"layers_\1.", n)
+        module, leaf = n.rsplit(".", 1)
+        kind = "norm" if ("layer_norm" in module or "layrnorm" in module or "layernorm" in module) else "linear"
+        leaf_name, w = _leaf(leaf, w, kind)
+        _set(params, tuple(module.split(".")) + (leaf_name,), np.asarray(w, np.float32))
+    return params
+
+
+def convert_clip_text_projection(tensors: Tensors) -> Dict[str, Any]:
+    """transformers CLIPTextModelWithProjection state dict → our
+    CLIPTextModelWithProjection pytree (text_model nested + text_projection)."""
+    text = convert_clip_text({k: v for k, v in tensors.items() if k.startswith("text_model.")})
+    params: Dict[str, Any] = {"text_model": text}
+    if "text_projection.weight" in tensors:
+        params["text_projection"] = np.asarray(tensors["text_projection.weight"], np.float32).transpose(1, 0)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Pipeline directory
 # ---------------------------------------------------------------------------
@@ -235,6 +276,25 @@ def clip_config_from_json(cfg: Dict[str, Any]) -> CLIPTextConfig:
     )
 
 
+def clip_vision_config_from_json(cfg: Dict[str, Any]):
+    from diffmining_tpu.models.clip import CLIPVisionConfig
+
+    if "vision_config" in cfg:  # full CLIPConfig (e.g. StreetCLIP config.json)
+        proj = cfg.get("projection_dim", 768)
+        cfg = dict(cfg["vision_config"], projection_dim=cfg["vision_config"].get("projection_dim", proj))
+    return CLIPVisionConfig(
+        image_size=cfg.get("image_size", 336),
+        patch_size=cfg.get("patch_size", 14),
+        hidden_size=cfg.get("hidden_size", 1024),
+        intermediate_size=cfg.get("intermediate_size", 4096),
+        num_layers=cfg.get("num_hidden_layers", 24),
+        num_heads=cfg.get("num_attention_heads", 16),
+        projection_dim=cfg.get("projection_dim", 768),
+        hidden_act=cfg.get("hidden_act", "quick_gelu"),
+        layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+    )
+
+
 def schedule_from_json(cfg: Dict[str, Any]) -> Schedule:
     return make_schedule(
         num_train_timesteps=cfg.get("num_train_timesteps", 1000),
@@ -248,6 +308,40 @@ def schedule_from_json(cfg: Dict[str, Any]) -> Schedule:
 def _read_json(path: str) -> Dict[str, Any]:
     with open(path, "r") as f:
         return json.load(f)
+
+
+def load_clip_dir(path: str):
+    """Load a transformers CLIPModel checkpoint dir (e.g. converted
+    StreetCLIP, reference clipmining/ranking.py:20-24) into vision + text
+    bundles for the CLIP-mining baseline.
+
+    Accepts either a full CLIPModel state dict (text_model.* + vision_model.*
+    + *_projection) or separate CLIPVision/CLIPText*WithProjection dicts.
+    Returns {"vision": {config, params}, "text": {config, params,
+    projection_dim}, "tokenizer_dir"}.
+    """
+    tensors = load_safetensors_dir(path)
+    cfg = _read_json(os.path.join(path, "config.json"))
+    text_cfg = clip_config_from_json(cfg.get("text_config", cfg))
+    vision_cfg = clip_vision_config_from_json(cfg)
+    vision_tensors = {
+        k: v for k, v in tensors.items() if k.startswith("vision_model.") or k == "visual_projection.weight"
+    }
+    text_tensors = {
+        k: v for k, v in tensors.items() if k.startswith("text_model.") or k == "text_projection.weight"
+    }
+    if not vision_tensors or not text_tensors:
+        raise FileNotFoundError(f"{path} does not contain both CLIP towers (vision={bool(vision_tensors)}, text={bool(text_tensors)})")
+    out = {
+        "vision": dict(config=vision_cfg, params=convert_clip_vision(vision_tensors)),
+        "text": dict(
+            config=text_cfg,
+            params=convert_clip_text_projection(text_tensors),
+            projection_dim=cfg.get("projection_dim", vision_cfg.projection_dim),
+        ),
+        "tokenizer_dir": path,
+    }
+    return out
 
 
 def load_pipeline_dir(path: str):

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 from PIL import Image
 
-from diffmining_tpu.baselines.clipmining import CLIPRankCluster, center_crop
+from diffmining_tpu.baselines.clipmining import CLIPRankCluster, resize_center_crop
 from diffmining_tpu.models.clip import (
     CLIPTextModelWithProjection,
     CLIPVisionModel,
@@ -45,9 +45,20 @@ def ranker(geo_dataset, tmp_path_factory):
     )
 
 
-def test_center_crop():
-    img = Image.new("RGB", (100, 80))
-    assert center_crop(img, 64).size == (64, 64)
+def test_resize_center_crop():
+    # shortest side rescaled to size, then square center crop
+    assert resize_center_crop(Image.new("RGB", (100, 80)), 64).size == (64, 64)
+    assert resize_center_crop(Image.new("RGB", (64, 64)), 64).size == (64, 64)
+    assert resize_center_crop(Image.new("RGB", (512, 512)), 336).size == (336, 336)
+
+
+def test_crop_defaults_to_vision_image_size(geo_dataset, tmp_path_factory):
+    vision = CLIPVisionModel(TINY_CLIP_VISION)  # image_size=64
+    rc = CLIPRankCluster(
+        geo_dataset, str(tmp_path_factory.mktemp("c")), "diff", vision=vision,
+        tokenizer=tiny_tokenizer(TINY_CLIP_TEXT.vocab_size),
+    )
+    assert rc.crop == 64
 
 
 def test_rank_produces_patches(ranker):
