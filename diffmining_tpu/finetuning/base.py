@@ -336,7 +336,12 @@ class BaseTrainer:
         from diffmining_tpu.utils.observability import MetricsLogger, StepTimer
 
         rng = jax.random.PRNGKey(args.seed)
-        losses: List[float] = []
+        # device-side scalars: fetching the loss every step is a host sync
+        # (~200 ms through the relay vs a ~400 ms full step — up to ~33%
+        # throughput); keep the async dispatch pipeline full and fetch once
+        # per logging window. The reference gathers the loss every step
+        # (cars.py:290) — we deliberately don't.
+        losses: List[jax.Array] = []
         metrics = MetricsLogger(join(args.output_dir, args.logging_dir, "metrics.jsonl"))
         timer = StepTimer()
         done = False

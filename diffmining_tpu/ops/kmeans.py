@@ -115,6 +115,42 @@ class KMeans:
 
 
 @dataclasses.dataclass
+class KMeansSplitReassign(KMeans):
+    """Port of the reference's pure-numpy `KMeans(KMeansBase)` with
+    split_reassign (reference typicality/utils.py:617-684; unused by the
+    shipped pipeline — sklearn KMeans is what cluster.py:313 calls — but part
+    of the public surface). Faithful semantics, including the quirk that
+    `split_reassign` always returns False, so after Lloyd converges the small
+    clusters (< k_min·N members) are re-seeded ONCE at the biggest cluster's
+    centroid + N(0, 0.01·sigma) noise and points are re-assigned WITHOUT
+    another Lloyd pass."""
+
+    k_min: float = 0.01
+    n_init: int = 1  # the reference variant runs a single random init
+
+    def fit(self, x) -> "KMeansSplitReassign":
+        x_np = np.asarray(x, dtype=np.float32)
+        x_j = jnp.asarray(x_np)
+        n, k = x_np.shape[0], self.n_clusters
+        rng = np.random.RandomState(self.random_state)
+        init = x_j[jnp.asarray(rng.choice(n, k, replace=False))]
+        c, labels, inertia = lloyd(x_j, init, k, self.max_iter, self.tol)
+        centers, labels = np.array(c), np.asarray(labels)  # np.array: writable copy
+        counts = np.bincount(labels, minlength=k)
+        small = np.where(counts < self.k_min * n)[0]
+        if len(small) > 0:
+            big = int(np.argmax(counts))
+            sigma = x_np[labels == big].std(axis=0)
+            for i in small:
+                centers[i] = centers[big] + rng.normal(0.0, 0.01 * sigma, centers[big].shape)
+            d = np.asarray(pairwise_sq_dists(x_j, jnp.asarray(centers)))
+            labels = d.argmin(axis=1)
+            inertia = d.min(axis=1).sum()
+        self.cluster_centers_, self.labels_, self.inertia_ = centers, labels, float(inertia)
+        return self
+
+
+@dataclasses.dataclass
 class KMeansRe(KMeans):
     """Re-seeding variant of the reference's `KMeansRe` (utils.py:458-540):
     clusters smaller than k_min_frac·N/K are re-seeded near the biggest

@@ -347,6 +347,13 @@ class Typicality:
         }
 
     # --- path loaders (same directory protocols as the reference) ---
+    #
+    # NOTE ON PROVENANCE: these loaders plus get_seeds_/make_submission are
+    # deliberate structural TRANSLATIONS of reference compute.py:222-341 —
+    # this is the filesystem protocol layer (directory layouts, filename
+    # grammars, shard balancing) whose observable behavior must match the
+    # reference bit-for-bit so artifacts interoperate. Everything that
+    # computes (engine.py, the batched sweep, RNG) is redesigned.
 
     def load_paths_geo(self, dataset_path: str) -> None:
         """gt--{country}__{sid}.jpg / {country}__{sid}.jpg protocol

@@ -120,6 +120,24 @@ def test_kmeans_re_fills_small_clusters():
     assert counts.max() < 200  # the big blob got split
 
 
+def test_kmeans_split_reassign_reseeds_small_clusters():
+    from diffmining_tpu.ops.kmeans import KMeansSplitReassign
+
+    rng = np.random.RandomState(3)
+    # dense blob + 2 far outliers -> some clusters end up tiny (< k_min*N)
+    x = np.concatenate([rng.randn(300, 2), 100 + rng.randn(2, 2)]).astype(np.float32)
+    km = KMeansSplitReassign(n_clusters=6, random_state=32, k_min=0.05).fit(x)
+    assert km.labels_.shape == (302,)
+    assert km.cluster_centers_.shape == (6, 2)
+    # reseeded centers sit near the biggest cluster: every center except the
+    # outlier one must be inside the blob's range
+    counts = np.bincount(km.labels_, minlength=6)
+    assert counts.sum() == 302
+    # determinism
+    km2 = KMeansSplitReassign(n_clusters=6, random_state=32, k_min=0.05).fit(x)
+    np.testing.assert_array_equal(km.labels_, km2.labels_)
+
+
 def test_upsample_bilinear_matches_torch_semantics():
     torch = pytest.importorskip("torch")
     x = np.random.RandomState(4).randn(2, 3, 5, 7).astype(np.float32)
