@@ -28,6 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # log2(e): fold into the q scale, exp->exp2
+LN2 = 0.6931471805599453
 _BF16_EXP = _os.environ.get("DIFFMINING_FLASH_BF16_EXP", "0") == "1"
 
 
@@ -61,15 +63,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
     l_prev = l_ref[...]
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     if _BF16_EXP:
-        # the kernel is VPU-bound in the softmax (1M-element exp per block
-        # pair vs ~2.7us of MXU work): bf16 exp doubles VPU lanes; m/l stay
-        # fp32 and the row-sum accumulates fp32
-        p = jnp.exp((logits - m_new).astype(jnp.bfloat16))
+        # bf16 exp halves the elementwise bytes; m/l stay fp32 and the
+        # row-sum accumulates fp32 (measured ~-3%; off by default pending a
+        # fidelity check at sweep scale)
+        p = jnp.exp2((logits - m_new).astype(jnp.bfloat16))
         row_sum = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
     else:
-        p = jnp.exp(logits - m_new)
+        p = jnp.exp2(logits - m_new)
         row_sum = jnp.sum(p, axis=-1, keepdims=True)
     l_ref[...] = alpha * l_prev + row_sum
     m_ref[...] = m_new
@@ -81,7 +83,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
     def _finish():
         l_safe = jnp.maximum(l_ref[...], 1e-30)
         o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
-        lse_ref[0] = m_ref[...] + jnp.log(l_safe)
+        # m is a base-2 logit; emit the NATURAL logsumexp for the backward
+        lse_ref[0] = m_ref[...] * LN2 + jnp.log(l_safe)
 
 
 def _pad_to(x, axis, m):
@@ -113,11 +116,15 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None, return_lse=F
     block_q = min(block_q or _BLOCK_Q, max(128, lq))
     block_k = min(block_k or _BLOCK_K, max(128, lk))
 
-    # fold the softmax scale into q (see kernel comment)
-    qs = (q * jnp.asarray(scale, q.dtype)).reshape(b * h, lq, d)
-    qq = _pad_to(_pad_to(qs, 1, block_q), 2, 128)
-    kk = _pad_to(_pad_to(k.reshape(b * h, lk, d), 1, block_k), 2, 128)
-    vv = _pad_to(_pad_to(v.reshape(b * h, lk, d), 1, block_k), 2, 128)
+    # fold the softmax scale into q (see kernel comment), in log2 space:
+    # the kernel computes exp2 (VPU-native; the exp(x)=exp2(x*log2e) multiply
+    # is free here). The head dim is NOT padded to 128 in HBM — Mosaic
+    # tile-pads narrow minor dims in VMEM, and materializing D→128 in HBM
+    # tripled q/k/v/o traffic at D=40 (measured: 11.7→10.6 ms at L4096).
+    qs = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(b * h, lq, d)
+    qq = _pad_to(qs, 1, block_q)
+    kk = _pad_to(k.reshape(b * h, lk, d), 1, block_k)
+    vv = _pad_to(v.reshape(b * h, lk, d), 1, block_k)
     bh, lq_p, dp = qq.shape
     lk_p = kk.shape[1]
 
@@ -183,7 +190,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, acc_ref
     if masked:
         col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(col < kv_len, logits, NEG_INF)
-    p = jnp.exp(logits - lse)
+    p = jnp.exp2(logits - lse)  # q pre-scaled by scale*log2e; lse in base 2
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -198,7 +205,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, acc_ref
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, kv_len, block_k, masked):
-    # q pre-scaled: dk = ds^T @ (q·scale) IS d(loss)/dk — no trailing scale.
+    # q pre-scaled by scale*log2e: dk = ds^T @ (q·scale), so the accumulated
+    # value carries a spurious log2e — removed at _finish via *LN2.
     i = pl.program_id(2)
     ni = pl.num_programs(2)
 
@@ -219,7 +227,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dk_ref, dv_ref
     if masked:
         col = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(col < kv_len, logits, NEG_INF)
-    p = jnp.exp(logits - lse)
+    p = jnp.exp2(logits - lse)  # q pre-scaled by scale*log2e; lse in base 2
     # dv += p^T @ do   (contract the q dimension)
     dv_acc[...] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -234,7 +242,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dk_ref, dv_ref
 
     @pl.when(i == ni - 1)
     def _finish():
-        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        # q arrived scaled by scale*log2e but dk = ds^T @ (q*scale): undo
+        # the log2e factor once per k block
+        dk_ref[0] = (dk_acc[...] * LN2).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
@@ -256,13 +266,14 @@ def _bwd_pallas(scale, res, g, block_q=None, block_k=None):
 
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [b,h,lq]
 
-    # same pre-scaled q as the forward (the residual lse was computed on it)
-    qs_ = (q * jnp.asarray(s, q.dtype)).reshape(b * h, lq, d)
-    qq = _pad_to(_pad_to(qs_, 1, block_q), 2, 128)
-    gg = _pad_to(_pad_to(g.reshape(b * h, lq, d), 1, block_q), 2, 128)
-    kk = _pad_to(_pad_to(k.reshape(b * h, lk, d), 1, block_k), 2, 128)
-    vv = _pad_to(_pad_to(v.reshape(b * h, lk, d), 1, block_k), 2, 128)
-    ll = _pad_to(lse.reshape(b * h, lq, 1), 1, block_q)
+    # same log2-pre-scaled q as the forward; lse converted to base 2 so
+    # the kernels re-form p with exp2. Head dim stays native (see forward).
+    qs_ = (q * jnp.asarray(s * LOG2E, q.dtype)).reshape(b * h, lq, d)
+    qq = _pad_to(qs_, 1, block_q)
+    gg = _pad_to(g.reshape(b * h, lq, d), 1, block_q)
+    kk = _pad_to(k.reshape(b * h, lk, d), 1, block_k)
+    vv = _pad_to(v.reshape(b * h, lk, d), 1, block_k)
+    ll = _pad_to((lse * LOG2E).reshape(b * h, lq, 1), 1, block_q)
     dd = _pad_to(delta.reshape(b * h, lq, 1), 1, block_q)
     bh, lq_p, dp = qq.shape
     lk_p = kk.shape[1]
