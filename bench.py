@@ -36,9 +36,16 @@ def build(batch: int, iters: int, dtype=jnp.bfloat16):
     output back into the input) with a single scalar host fetch at the end:
     the axon relay's `block_until_ready` is a no-op and every host sync pays a
     ~200 ms tunnel round-trip, so external per-iteration timing is meaningless."""
+    import dataclasses
+
     from diffmining_tpu.models.unet import SD15_UNET, UNet2DCondition
 
-    unet = UNet2DCondition(SD15_UNET, dtype=dtype)
+    cfg = SD15_UNET
+    if jax.default_backend() == "tpu" and os.environ.get("DIFFMINING_FUSED_NORM", "1") != "0":
+        # match the product inference stack (typicality SD enables the fused
+        # GN→proj_in pass on TPU)
+        cfg = dataclasses.replace(cfg, fused_norm=True)
+    unet = UNet2DCondition(cfg, dtype=dtype)
     latents = jnp.zeros((batch, 64, 64, 4), dtype)
     t = jnp.zeros((batch,), jnp.int32)
     ctx = jnp.zeros((batch, 77, 768), dtype)

@@ -76,6 +76,11 @@ class UNetConfig:
     # rematerialize blocks on backward (the reference's
     # --gradient_checkpointing, finetuning/cars.py:130-132)
     remat: bool = False
+    # fuse the SpatialTransformer entry (GroupNorm → proj_in) into one Pallas
+    # pass (ops/fused_norm.py). FORWARD-ONLY (no custom VJP) — enabled by the
+    # inference stack (typicality SD) on TPU; params are identical either way
+    # so checkpoints interchange freely.
+    fused_norm: bool = False
 
     @property
     def up_block_has_attn(self) -> Tuple[bool, ...]:
@@ -242,6 +247,33 @@ class BasicTransformerBlock(nn.Module):
         return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
 
 
+class _GNParams(nn.Module):
+    """Parameter-only stand-in for nn.GroupNorm (same names/shapes)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for nn.Conv(features, (1,1))."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(), (1, 1, self.in_features, self.features)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
 class SpatialTransformer(nn.Module):
     """Transformer2DModel: GN -> 1x1 conv in -> blocks -> 1x1 conv out + res."""
 
@@ -251,6 +283,7 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     groups: int = 32
     dtype: Any = jnp.float32
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(
@@ -263,9 +296,21 @@ class SpatialTransformer(nn.Module):
     ) -> jax.Array:
         b, hh, ww, c = x.shape
         res = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        h = h.astype(self.dtype)
-        h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        if self.fused_norm:
+            # one fused Pallas pass for GN → proj_in (no activation between
+            # them in diffusers); same param tree as the module path below
+            from diffmining_tpu.ops.fused_norm import gn_act_proj
+
+            scale, gbias = _GNParams(c, name="norm")()
+            kern, pbias = _ConvParams(c, self.channels, name="proj_in")()
+            h = gn_act_proj(
+                x, scale, gbias, kern[0, 0].astype(self.dtype), pbias,
+                self.groups, eps=1e-6, act="none",
+            ).astype(self.dtype)
+        else:
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+            h = h.astype(self.dtype)
+            h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(b, hh * ww, c)
         dim_head = self.channels // self.heads
         for i in range(self.depth):
@@ -377,7 +422,8 @@ class UNet2DCondition(nn.Module):
                         Tf(
                             ch, cfg.num_attention_heads, cfg.cross_attention_dim,
                             depth=cfg.transformer_layers, groups=cfg.norm_num_groups,
-                            dtype=self.dtype, name=f"down_{i}_tf_{j}",
+                            dtype=self.dtype, fused_norm=cfg.fused_norm,
+                            name=f"down_{i}_tf_{j}",
                         ),
                         x, f"down.{i}.tf.{j}",
                     )
@@ -392,7 +438,8 @@ class UNet2DCondition(nn.Module):
         x = tf_call(
             Tf(
                 mid_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
-                depth=cfg.transformer_layers, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_tf",
+                depth=cfg.transformer_layers, groups=cfg.norm_num_groups,
+                dtype=self.dtype, fused_norm=cfg.fused_norm, name="mid_tf",
             ),
             x, "mid.tf",
         )
@@ -415,7 +462,8 @@ class UNet2DCondition(nn.Module):
                         Tf(
                             ch, cfg.num_attention_heads, cfg.cross_attention_dim,
                             depth=cfg.transformer_layers, groups=cfg.norm_num_groups,
-                            dtype=self.dtype, name=f"up_{i}_tf_{j}",
+                            dtype=self.dtype, fused_norm=cfg.fused_norm,
+                            name=f"up_{i}_tf_{j}",
                         ),
                         x, f"up.{i}.tf.{j}",
                     )

@@ -82,6 +82,17 @@ class SD:
     dtype: Any = jnp.bfloat16
 
     def __post_init__(self):
+        # inference-only stack: fuse the transformer-entry GN→proj_in into one
+        # Pallas pass on TPU (+~1% e2e, BENCH_NOTES; no VJP so training keeps
+        # the module path). DIFFMINING_FUSED_NORM=0 disables.
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu and os.environ.get("DIFFMINING_FUSED_NORM", "1") != "0" and not self.unet.config.fused_norm:
+            self.unet = UNet2DCondition(
+                dataclasses.replace(self.unet.config, fused_norm=True), dtype=self.unet.dtype
+            )
         self.country_features = CategoryFeatures(self.clip, self.clip_params, self.tokenizer, self.which)
         apply_categories = [""] + sorted(self.categories)
         if apply_categories:

@@ -83,6 +83,26 @@ def test_unet_bf16(unet_setup):
     assert np.isfinite(np.asarray(eps, dtype=np.float32)).all()
 
 
+def test_fused_norm_matches_module_path(unet_setup):
+    """UNetConfig.fused_norm=True (the TPU inference fusion of GN→proj_in,
+    ops/fused_norm.py) must share the module path's param tree and
+    reproduce its outputs."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffmining_tpu.models.unet import TINY_UNET, UNet2DCondition
+
+    unet, params, x, t, ctx = unet_setup
+    fused = UNet2DCondition(dataclasses.replace(TINY_UNET, fused_norm=True))
+    base = np.asarray(unet.apply(params, x, t, ctx))
+    with pltpu.force_tpu_interpret_mode():
+        init_fused = jax.eval_shape(fused.init, jax.random.PRNGKey(0), x, t, ctx)
+        got = np.asarray(fused.apply(params, x, t, ctx))
+    assert jax.tree_util.tree_structure(init_fused) == jax.tree_util.tree_structure(params)
+    np.testing.assert_allclose(got, base, rtol=2e-4, atol=2e-5)
+
+
 def test_vae_roundtrip_shapes():
     vae = AutoencoderKL(TINY_VAE)
     img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
