@@ -342,7 +342,10 @@ class BaseTrainer:
         # per logging window. The reference gathers the loss every step
         # (cars.py:290) — we deliberately don't.
         losses: List[jax.Array] = []
-        metrics = MetricsLogger(join(args.output_dir, args.logging_dir, "metrics.jsonl"))
+        metrics = MetricsLogger(
+            join(args.output_dir, args.logging_dir, "metrics.jsonl"),
+            report_to=getattr(args, "report_to", ""),
+        )
         timer = StepTimer()
         done = False
         for epoch in range(self.first_epoch, args.num_train_epochs):

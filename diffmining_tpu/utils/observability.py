@@ -58,21 +58,38 @@ def annotate(name: str):
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics (one object per step)."""
+    """Append-only JSONL metrics (one object per step), with optional
+    TensorBoard event mirroring (`report_to="tensorboard"` — the reference's
+    default tracker via accelerate, base.py:103-117/args.py:198-206; torch's
+    SummaryWriter is used when available, silently skipped otherwise)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, report_to: str = ""):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self.path = path
         self._f = open(path, "a", buffering=1)
         self._t0 = time.time()
+        self._tb = None
+        if report_to == "tensorboard":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.dirname(os.path.abspath(path)))
+            except Exception:
+                self._tb = None
 
     def log(self, step: int, **values: Any) -> None:
         rec = {"step": int(step), "wall_s": round(time.time() - self._t0, 3)}
         rec.update({k: (float(v) if hasattr(v, "__float__") else v) for k, v in values.items()})
         self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k != "step" and isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, v, int(step))
 
     def close(self) -> None:
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class StepTimer:
