@@ -41,7 +41,7 @@ def build(batch: int, iters: int, dtype=jnp.bfloat16):
     from diffmining_tpu.models.unet import SD15_UNET, UNet2DCondition
 
     cfg = SD15_UNET
-    if jax.default_backend() == "tpu" and os.environ.get("DIFFMINING_FUSED_NORM", "1") != "0":
+    if jax.default_backend() == "tpu" and os.environ.get("DIFFMINING_FUSED_NORM", "0") != "0":
         # match the product inference stack (typicality SD enables the fused
         # GN→proj_in pass on TPU)
         cfg = dataclasses.replace(cfg, fused_norm=True)

@@ -82,14 +82,16 @@ class SD:
     dtype: Any = jnp.bfloat16
 
     def __post_init__(self):
-        # inference-only stack: fuse the transformer-entry GN→proj_in into one
-        # Pallas pass on TPU (+~1% e2e, BENCH_NOTES; no VJP so training keeps
-        # the module path). DIFFMINING_FUSED_NORM=0 disables.
+        # DIFFMINING_FUSED_NORM=1 swaps the transformer-entry GN→proj_in for
+        # the fused Pallas pass (ops/fused_norm.py) on TPU. Default OFF: it
+        # wins its isolated microbench by 27% but LOSES ~6% end-to-end — the
+        # pallas call is a fusion barrier for XLA around it (BENCH_NOTES.md).
+        # Inference-only either way (no VJP); training keeps the module path.
         try:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
             on_tpu = False
-        if on_tpu and os.environ.get("DIFFMINING_FUSED_NORM", "1") != "0" and not self.unet.config.fused_norm:
+        if on_tpu and os.environ.get("DIFFMINING_FUSED_NORM", "0") != "0" and not self.unet.config.fused_norm:
             self.unet = UNet2DCondition(
                 dataclasses.replace(self.unet.config, fused_norm=True), dtype=self.unet.dtype
             )

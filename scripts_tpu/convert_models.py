@@ -35,7 +35,12 @@ def main(src: str, dst: str) -> None:
         p["schedule"],
         tokenizer_src_dir=p["tokenizer_dir"],
     )
-    print(f"wrote verified pipeline to {dst}")
+    print(f"wrote pipeline to {dst}; validating (structure/forward)...")
+    from diffmining_tpu.utils.verify_checkpoint import main as verify
+
+    rc = verify([dst])
+    if rc != 0:
+        raise SystemExit(rc)
 
 
 if __name__ == "__main__":
