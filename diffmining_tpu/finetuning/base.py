@@ -356,12 +356,13 @@ class BaseTrainer:
                     self.state, jnp.asarray(batch["image"]), jnp.asarray(batch["tokenized"]), rng
                 )
                 self.global_step += 1
-                losses.append(float(loss))
+                losses.append(loss)  # device scalar — no host fetch here
+                del losses[:-50]
                 timer.tick()
                 if self.global_step % args.checkpointing_steps == 0:
                     self.save_checkpoint(self.global_step)
                 if self.global_step % args.logging_steps == 0:
-                    mean_loss = float(np.mean(losses[-50:]))
+                    mean_loss = float(jnp.mean(jnp.stack(losses)))  # ONE sync per window
                     logger.info("step %d loss %.4f", self.global_step, mean_loss)
                     metrics.log(self.global_step, train_loss=mean_loss, epoch=epoch,
                                 steps_per_sec=timer.steps_per_sec())

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--use-8bit", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU (smoke test)")
+    ap.add_argument("--defer-fetch", action="store_true",
+                    help="product loop semantics: loss stays on device, one fetch per window")
     args = ap.parse_args()
     os.environ["DIFFMINING_FLASH_BWD"] = args.bwd
 
@@ -66,12 +68,23 @@ def main():
     # includes one ~200 ms relay round-trip per step.
     step = b.build()
 
-    def loop(state):
-        losses = []
-        for _ in range(args.steps):
-            state, loss = step(state, images, tokens, jax.random.PRNGKey(0))
-            losses.append(float(loss))
-        return state, losses[-1]
+    if args.defer_fetch:
+        # the product train loop (finetuning/base.py): keep loss as a device
+        # scalar, fetch ONCE per window — async dispatch keeps the device
+        # pipeline full, paying one relay RTT per window instead of per step
+        def loop(state):
+            losses = []
+            for _ in range(args.steps):
+                state, loss = step(state, images, tokens, jax.random.PRNGKey(0))
+                losses.append(loss)
+            return state, float(jnp.mean(jnp.stack(losses)))
+    else:
+        def loop(state):
+            losses = []
+            for _ in range(args.steps):
+                state, loss = step(state, images, tokens, jax.random.PRNGKey(0))
+                losses.append(float(loss))
+            return state, losses[-1]
 
     t0 = time.perf_counter()
     state, l = loop(state)
@@ -85,7 +98,7 @@ def main():
     ips = args.batch / best
     print(
         f"train-step B={args.batch} px={args.px} bwd={args.bwd} remat={args.remat}: "
-        f"{best*1e3:.1f} ms/step = {ips:.2f} img/s/chip"
+        f"defer_fetch={args.defer_fetch}: {best*1e3:.1f} ms/step = {ips:.2f} img/s/chip"
     )
 
 
