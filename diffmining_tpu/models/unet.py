@@ -33,6 +33,8 @@ import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+
+from diffmining_tpu.ops.norm import group_norm
 import jax
 import jax.numpy as jnp
 
@@ -145,12 +147,12 @@ class ResnetBlock(nn.Module):
         collect: Optional[Dict[str, jax.Array]] = None,
     ) -> jax.Array:
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = group_norm(self.groups, 1e-5, self.dtype, "norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = group_norm(self.groups, 1e-5, self.dtype, "norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         # PnP injects the RESIDUAL BRANCH (post-conv2, pre-shortcut-add): each
@@ -216,6 +218,11 @@ class FeedForward(nn.Module):
         h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)  # diffusers GEGLU uses exact erf gelu
+        # NOTE: do NOT optimization_barrier the down-projection out of the
+        # surrounding kOutput fusion. The fused [L,1280]x[1280,dim] dot shows
+        # ~19% MFU in the profile, but un-fusing it (materializing the GEGLU
+        # product) measured SLOWER end to end: 125.7 vs 127.0 passes/s
+        # (BENCH_NOTES round-2 "fusion-shape experiments").
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
 
 
@@ -308,7 +315,7 @@ class SpatialTransformer(nn.Module):
                 self.groups, eps=1e-6, act="none",
             ).astype(self.dtype)
         else:
-            h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+            h = group_norm(self.groups, 1e-6, self.dtype, "norm")(x)
             h = h.astype(self.dtype)
             h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(b, hh * ww, c)
@@ -476,7 +483,7 @@ class UNet2DCondition(nn.Module):
             if i in up_ft_indices:
                 up_ft[i] = x
 
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="conv_norm_out")(x)
+        x = group_norm(cfg.norm_num_groups, 1e-5, self.dtype, "conv_norm_out")(x)
         x = nn.silu(x).astype(self.dtype)
         eps = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 

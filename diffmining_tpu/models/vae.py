@@ -12,6 +12,8 @@ import dataclasses
 from typing import Any, Tuple
 
 import flax.linen as nn
+
+from diffmining_tpu.ops.norm import group_norm
 import jax
 import jax.numpy as jnp
 
@@ -42,10 +44,10 @@ class VAEResnet(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = group_norm(self.groups, 1e-6, self.dtype, "norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
+        h = group_norm(self.groups, 1e-6, self.dtype, "norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
@@ -64,7 +66,7 @@ class VAEAttention(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         res = x
-        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
+        y = group_norm(self.groups, 1e-6, self.dtype, "group_norm")(x)
         y = y.astype(self.dtype).reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
@@ -96,7 +98,7 @@ class Encoder(nn.Module):
         x = VAEResnet(ch, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_res_0")(x)
         x = VAEAttention(ch, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn")(x)
         x = VAEResnet(ch, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_res_1")(x)
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
+        x = group_norm(cfg.norm_num_groups, 1e-6, self.dtype, "conv_norm_out")(x)
         x = nn.silu(x).astype(self.dtype)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 
@@ -121,7 +123,7 @@ class Decoder(nn.Module):
                 b, h, w, c = x.shape
                 x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
                 x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"up_{i}_upsample")(x)
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
+        x = group_norm(cfg.norm_num_groups, 1e-6, self.dtype, "conv_norm_out")(x)
         x = nn.silu(x).astype(self.dtype)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 

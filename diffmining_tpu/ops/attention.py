@@ -96,8 +96,18 @@ def sdpa(
         )
     if use_pallas and mask is None:
         try:
-            from diffmining_tpu.ops.flash_attention import flash_attention
+            from diffmining_tpu.ops.flash_attention import flash_attention, flash_attention_t
 
+            if os.environ.get("DIFFMINING_ATTN_TLAYOUT", "1") != "0":
+                # transposed-operand kernel: the q/k/v projections emit
+                # sequence-on-lanes layouts, and these transposes fold into
+                # XLA layout assignment (bitcasts) instead of the HBM
+                # transpose-copies the default-layout kernel forces — see
+                # flash_attention_t / BENCH_NOTES
+                o_t = flash_attention_t(
+                    q.transpose(0, 1, 3, 2), k.transpose(0, 1, 3, 2), v.transpose(0, 1, 3, 2), scale
+                )
+                return o_t.transpose(0, 1, 3, 2)
             return flash_attention(q, k, v, scale=scale)
         except Exception:
             pass  # fall back to XLA (e.g. unsupported shape)

@@ -163,6 +163,117 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None, return_lse=F
     return o
 
 
+def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, kv_len, block_k, masked):
+    # Transposed-operand variant: refs are [1, D, block] with the SEQUENCE on
+    # the lane (minor) axis — the layout XLA's qkv projections naturally emit
+    # (the fused dot produces L-in-lanes; feeding the default-layout kernel
+    # costs a ~0.27 ms HBM transpose-copy per operand per layer, profiled in
+    # BENCH_NOTES). Same online softmax; logits contract dim 0 of both
+    # operands, AV contracts the k axis of both.
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qt = q_ref[0]  # [d, bq]
+    kt = k_ref[0]  # [d, bk]
+    vt = v_ref[0]  # [d, bk]
+    logits = jax.lax.dot_general(
+        qt, kt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    if masked:
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, NEG_INF)
+
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(logits - m_new)
+    l_ref[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[...] = m_new
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(vt.dtype), vt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, d]
+
+    @pl.when(j == nj - 1)
+    def _finish():
+        l_safe = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0] = (acc_ref[...] / l_safe).T.astype(o_ref.dtype)  # [d, bq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_t(qt, kt, vt, scale=None):
+    """Flash attention on transposed operands (sequence on lanes).
+
+    qt [B,H,D,Lq], kt/vt [B,H,D,Lk] -> o_t [B,H,D,Lq]. The sequence axis sits
+    on lanes end to end, so the surrounding projections hand their natural
+    output layout straight to the kernel — XLA folds the caller's transposes
+    into layout assignment instead of HBM copies (measured: the default-layout
+    kernel costs ~0.27 ms of transpose-copy per operand per level-0 layer, and
+    the transposed kernel is additionally faster in isolation: 9.19 vs
+    10.32 ms at B16 H8 L4096 D40 — BENCH_NOTES). Under differentiation the
+    fwd/bwd rules reroute through the standard-layout kernels.
+    """
+    return _flash_forward_t(qt, kt, vt, scale)
+
+
+def _flash_forward_t(qt, kt, vt, scale=None, block_q=None, block_k=None):
+    b, h, d, lq = qt.shape
+    lk = kt.shape[3]
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    block_q = min(block_q or _BLOCK_Q, max(128, lq))
+    block_k = min(block_k or _BLOCK_K, max(128, lk))
+
+    qs = (qt * jnp.asarray(scale * LOG2E, qt.dtype)).reshape(b * h, d, lq)
+    qq = _pad_to(qs, 2, block_q)
+    kk = _pad_to(kt.reshape(b * h, d, lk), 2, block_k)
+    vv = _pad_to(vt.reshape(b * h, d, lk), 2, block_k)
+    bh, dp, lq_p = qq.shape
+    lk_p = kk.shape[2]
+
+    grid = (bh, lq_p // block_q, lk_p // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_t, kv_len=lk, block_k=block_k, masked=lk != lk_p),
+        out_shape=jax.ShapeDtypeStruct((bh, dp, lq_p), qt.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, dp, block_q), lambda bb, i, j: (bb, 0, i)),
+                pl.BlockSpec((1, dp, block_k), lambda bb, i, j: (bb, 0, j)),
+                pl.BlockSpec((1, dp, block_k), lambda bb, i, j: (bb, 0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, dp, block_q), lambda bb, i, j: (bb, 0, i)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),  # m
+                pltpu.VMEM((block_q, 1), jnp.float32),  # l
+                pltpu.VMEM((block_q, dp), jnp.float32),  # acc
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qq, kk, vv)
+    return out[:, :, :lq].reshape(b, h, d, lq)
+
+
+def _fwd_t(qt, kt, vt, scale):
+    q, k, v = (a.transpose(0, 1, 3, 2) for a in (qt, kt, vt))
+    o, lse = _flash_forward(q, k, v, scale, return_lse=True)
+    return o.transpose(0, 1, 3, 2), (q, k, v, o, lse)
+
+
+def _bwd_t(scale, res, gt):
+    dq, dk, dv = _bwd_rule(scale, res, gt.transpose(0, 1, 3, 2))
+    return tuple(a.transpose(0, 1, 3, 2) for a in (dq, dk, dv))
+
+
 def _fwd(q, k, v, scale):
     o, lse = _flash_forward(q, k, v, scale, return_lse=True)
     return o, (q, k, v, o, lse)
@@ -400,3 +511,4 @@ def _bwd_rule(scale, res, g):
 
 
 flash_attention.defvjp(_fwd, _bwd_rule)
+flash_attention_t.defvjp(_fwd_t, _bwd_t)

@@ -108,3 +108,57 @@ def test_chunked_backward_matches_unchunked():
     full = _bwd(None, (q, k, v), g, chunk=130)   # single chunk
     for a, b in zip(small, full):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "b,h,lq,lk,d",
+    [
+        (1, 2, 128, 128, 40),
+        (1, 2, 256, 77, 80),   # masked key padding
+        (2, 1, 130, 130, 64),  # non-multiple seq length
+    ],
+)
+def test_flash_transposed_matches_standard(b, h, lq, lk, d):
+    """flash_attention_t (sequence-on-lanes operands, the TPU inference
+    layout) must equal the standard-layout kernel bit-for-bit — same blocks,
+    same online softmax, only the dot operand orientation differs."""
+    from diffmining_tpu.ops.flash_attention import flash_attention_t
+
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(b, h, lq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(flash_attention(q, k, v))
+        got = np.asarray(
+            flash_attention_t(
+                q.transpose(0, 1, 3, 2), k.transpose(0, 1, 3, 2), v.transpose(0, 1, 3, 2)
+            ).transpose(0, 1, 3, 2)
+        )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_flash_transposed_gradient():
+    """The transposed wrapper's custom VJP reroutes through the standard
+    kernels; gradients must match XLA sdpa."""
+    from diffmining_tpu.ops.flash_attention import flash_attention_t
+
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 2, 128, 40), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 128, 40), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 128, 40), jnp.float32)
+
+    def loss_t(q, k, v):
+        o = flash_attention_t(
+            q.transpose(0, 1, 3, 2), k.transpose(0, 1, 3, 2), v.transpose(0, 1, 3, 2)
+        )
+        return jnp.sum(jnp.sin(o.transpose(0, 1, 3, 2)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(sdpa_xla(q, k, v)))
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_t, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-3)

@@ -139,3 +139,38 @@ def test_clip_text_causal():
     h2 = clip.apply(params, ids2)
     np.testing.assert_allclose(np.asarray(h1[0, :4]), np.asarray(h2[0, :4]), rtol=1e-5, atol=1e-6)
     assert np.abs(np.asarray(h1[0, 4]) - np.asarray(h2[0, 4])).max() > 1e-6
+
+
+def test_group_norm_fast_matches_flax():
+    """ops/norm.py group_norm_fast (lane-aligned two-stage stats, the TPU bf16
+    path) must match nn.GroupNorm: fp32 to reassociation precision, bf16 to
+    output rounding (the graphs differ only in summation order)."""
+    import flax.linen as nn
+
+    from diffmining_tpu.ops.norm import GroupNormFast, group_norm, group_norm_fast
+
+    rng = np.random.RandomState(3)
+    for (B, H, W, C, G, eps) in [(2, 16, 16, 320, 32, 1e-5), (2, 5, 7, 64, 8, 1e-6)]:
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32) * 3 + 1.5)
+        scale = jnp.asarray(rng.randn(C).astype(np.float32))
+        bias = jnp.asarray(rng.randn(C).astype(np.float32))
+        p = {"params": {"scale": scale, "bias": bias}}
+        ref = nn.GroupNorm(num_groups=G, epsilon=eps).apply(p, x)
+        fast = group_norm_fast(x, scale, bias, G, eps)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(fast), atol=5e-5, rtol=1e-5)
+        # bf16: agree with flax's own bf16 kernel to 1 ulp on a small fraction
+        xb = x.astype(jnp.bfloat16)
+        refb = nn.GroupNorm(num_groups=G, epsilon=eps, dtype=jnp.bfloat16).apply(p, xb)
+        fastb = group_norm_fast(xb, scale, bias, G, eps)
+        assert fastb.dtype == jnp.bfloat16
+        d = np.abs(np.asarray(refb, np.float32) - np.asarray(fastb, np.float32))
+        rel = d.max() / np.abs(np.asarray(refb, np.float32)).max()
+        assert rel < 5e-3, rel
+    # the factory: identical param trees on both paths
+    m_fast = GroupNormFast(num_groups=G, epsilon=eps)
+    v = m_fast.init(jax.random.PRNGKey(0), x)
+    ref_m = nn.GroupNorm(num_groups=G, epsilon=eps)
+    v_ref = ref_m.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_ref)
+    assert group_norm(G, eps, jnp.float32, "n").__class__ is nn.GroupNorm
+    assert group_norm(G, eps, jnp.bfloat16, "n").__class__ is GroupNormFast
