@@ -194,8 +194,13 @@ def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, kv_len
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
-    p = jnp.exp2(logits - m_new)
-    l_ref[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    if _BF16_EXP:
+        p = jnp.exp2((logits - m_new).astype(jnp.bfloat16))
+        row_sum = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    else:
+        p = jnp.exp2(logits - m_new)
+        row_sum = jnp.sum(p, axis=-1, keepdims=True)
+    l_ref[...] = alpha * l_prev + row_sum
     m_ref[...] = m_new
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(vt.dtype), vt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
