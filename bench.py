@@ -79,7 +79,7 @@ def measure(batch: int, iters: int, warmup: int, dtype=jnp.bfloat16) -> float:
     return batch * iters / dt
 
 
-def measure_e2e_typicality(n_images: int = 16, n_samples: int = 100, image_px: int = 512) -> float:
+def measure_e2e_typicality(n_images: int = 16, n_samples: int = 100, image_px: int = 512, chunk: int = 4) -> float:
     """End-to-end typicality throughput (images/hr): VAE encode + N paired
     cond/null UNet sweeps per image, on synthetic data at the production
     config (BASELINE.md primary metric #2)."""
@@ -97,7 +97,7 @@ def measure_e2e_typicality(n_images: int = 16, n_samples: int = 100, image_px: i
     params = unet.init(rng, jnp.zeros(lat_shape, dtype), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768), dtype))
     engine = TypicalityEngine(
         unet=unet, unet_params=params, schedule=make_schedule(),
-        n_samples=n_samples, t_min=0.1, t_max=0.7, chunk=4, dtype=dtype,
+        n_samples=n_samples, t_min=0.1, t_max=0.7, chunk=chunk, dtype=dtype,
     )
     B = 4
     lat = jax.random.normal(rng, (B,) + lat_shape[1:], dtype=jnp.float32)
@@ -121,10 +121,11 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--measure-cpu-baseline", action="store_true")
     ap.add_argument("--e2e", action="store_true", help="end-to-end typicality images/hr")
+    ap.add_argument("--e2e-chunk", type=int, default=2, help="samples per sweep step (UNet batch = 4*chunk*2; 16 is the measured v5e optimum)")
     args = ap.parse_args()
 
     if args.e2e:
-        iph = measure_e2e_typicality()
+        iph = measure_e2e_typicality(chunk=args.e2e_chunk)
         print(json.dumps({
             "metric": "typicality_images_per_hr_512px_N100",
             "value": round(iph, 1), "unit": "images/hr", "vs_baseline": None,

@@ -203,7 +203,14 @@ class D:
         N: int = 100,
         t_min: float = 0.0,
         t_max: float = 1.0,
-        chunk: int = 10,
+        # chunk=1 with batch_images=8 puts the per-scan-step UNet batch at
+        # 8*1*2 = 16 — the measured v5e optimum (BENCH_NOTES: batch-16 beats
+        # batch-32+ by ~3% on the raw pass and the batch-160 legacy default
+        # by 11.8% on the full sweep: 2450 vs 2192 imgs/hr). The reference's
+        # micro-batch 10 (compute.py:135) is a CUDA-memory constant, not a
+        # throughput optimum; artifact VALUES are unchanged under regrouping
+        # (per-(image,sample) fold_in RNG).
+        chunk: int = 1,
         batch_images: int = 8,
         bucket_size: Optional[int] = None,
         mesh=None,
@@ -300,6 +307,15 @@ class D:
                 self._compute_group(group)
 
     def _compute_group(self, group: Sequence[Tuple[str, str, np.ndarray]]) -> None:
+        n_real = len(group)
+        # pad partial groups to the full batch by repeating the last item:
+        # every sweep then runs the SAME compiled graph, which (a) avoids
+        # tail-shape recompiles and (b) makes artifacts byte-identical no
+        # matter how the work queue grouped them (per-sample ops in the
+        # UNet/VAE are bit-reproducible at a fixed batch size; grouping-
+        # independence is pinned by test_determinism_across_batching)
+        if n_real < self.batch_images:
+            group = list(group) + [group[-1]] * (self.batch_images - n_real)
         paths = [g[0] for g in group]
         uids = [image_uid(p) for p in paths]
         images = jnp.asarray(np.stack([g[2] for g in group]))
@@ -312,7 +328,7 @@ class D:
         from diffmining_tpu.utils.artifacts import atomic_save_npy
 
         os.makedirs(self.typicality_path, exist_ok=True)
-        for b, path in enumerate(paths):
+        for b, path in enumerate(paths[:n_real]):
             atomic_save_npy(self.get_path(path), losses_to_reference_layout(np.asarray(losses[b])))
 
 
