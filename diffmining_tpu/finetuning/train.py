@@ -199,10 +199,14 @@ class TrainStepBuilder:
             mesh = self.mesh
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("dp"))
+            # batch/rng shardings are constrained explicitly; the state and
+            # frozen towers keep their caller placement (None = committed
+            # sharding), so the same step serves replicated AND fsdp-sharded
+            # parameter layouts (parallel/mesh.shard_params)
             jitted = jax.jit(
                 train_step,
-                in_shardings=(repl, data, data, repl, repl, repl, repl),
-                out_shardings=(repl, repl),
+                in_shardings=(None, data, data, repl, None, None, None),
+                out_shardings=(None, repl),
                 donate_argnums=(0,),
             )
         else:

@@ -241,11 +241,19 @@ class BasicTransformerBlock(nn.Module):
         tap: str,
         injection: Optional[Injection] = None,
         collect: Optional[Dict[str, jax.Array]] = None,
+        ctx_tile: int = 1,
     ) -> jax.Array:
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x).astype(self.dtype)
         x = x + CrossAttention(self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
             h, None, tap=f"{tap}.attn1", injection=injection, collect=collect
         )
+        if ctx_tile > 1:
+            # sweep prefix dedup: everything upstream (conv_in, resnets, the
+            # most expensive self-attention) ran ONCE per (image, sample);
+            # conditions only diverge from the first cross-attention on, so
+            # tile the batch here — entry i -> rows [i*ctx_tile, (i+1)*ctx_tile)
+            # to match the engine's conditions-adjacent layout.
+            x = jnp.repeat(x, ctx_tile, axis=0)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x).astype(self.dtype)
         x = x + CrossAttention(self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn2")(
             h, context
@@ -300,6 +308,7 @@ class SpatialTransformer(nn.Module):
         tap: str = "",
         injection: Optional[Injection] = None,
         collect: Optional[Dict[str, jax.Array]] = None,
+        ctx_tile: int = 1,
     ) -> jax.Array:
         b, hh, ww, c = x.shape
         res = x
@@ -324,7 +333,15 @@ class SpatialTransformer(nn.Module):
             h = BasicTransformerBlock(
                 self.channels, self.heads, dim_head, self.cross_dim, dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
-            )(h, context, tap=f"{tap}.{i}", injection=injection, collect=collect)
+            )(
+                h, context, tap=f"{tap}.{i}", injection=injection, collect=collect,
+                ctx_tile=ctx_tile if i == 0 else 1,
+            )
+        if ctx_tile > 1:
+            # the inner block tiled the batch between attn1 and attn2; tile
+            # the entry residual to match
+            b = b * ctx_tile
+            res = jnp.repeat(res, ctx_tile, axis=0)
         h = h.reshape(b, hh, ww, c)
         h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_out")(h)
         return h + res
@@ -382,28 +399,51 @@ class UNet2DCondition(nn.Module):
         injection: Optional[Injection] = None,
         collect_injection: bool = False,
         return_dict: bool = False,
+        ctx_tile: int = 1,
     ):
         """Returns eps prediction [B,H,W,C]; with up_ft_indices also a dict of
-        up-block feature maps; with collect_injection also the PnP tap dict."""
+        up-block feature maps; with collect_injection also the PnP tap dict.
+
+        ctx_tile > 1 (sweep prefix dedup): `sample`/`timesteps` carry the
+        B unique (image, sample) rows while `encoder_hidden_states` carries
+        B*ctx_tile rows (conditions adjacent). The condition-independent
+        prefix — conv_in, the first resnet, and the first (largest, L=H*W)
+        self-attention — runs at batch B; the batch is tiled to B*ctx_tile at
+        the first cross-attention, where conditions first matter. Output batch
+        is B*ctx_tile. This removes the reference's duplicated prefix work
+        (compute.py:134-158 tiles the noisy latent over conditions up front).
+        """
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
         collect: Optional[Dict[str, jax.Array]] = {} if collect_injection else None
+        if ctx_tile > 1:
+            assert injection is None and not collect_injection, (
+                "ctx_tile is a sweep-only optimization; PnP taps see a "
+                "different batch layout"
+            )
         # remat only applies on the plain eps path (taps/injection change the
         # block signatures and are inference-only anyway)
-        use_remat = cfg.remat and not collect_injection and injection is None and not up_ft_indices
+        use_remat = (
+            cfg.remat and not collect_injection and injection is None
+            and not up_ft_indices and ctx_tile == 1
+        )
         Res = nn.remat(ResnetBlock) if use_remat else ResnetBlock
         Tf = nn.remat(SpatialTransformer) if use_remat else SpatialTransformer
+        pending_tile = ctx_tile if ctx_tile > 1 else 0
 
         def res_call(mod, h, tap):
             if use_remat:
                 return mod(h, temb)
             return mod(h, temb, tap=tap, injection=injection, collect=collect)
 
-        def tf_call(mod, h, tap):
+        def tf_call(mod, h, tap, tile: int = 0):
             if use_remat:
                 return mod(h, context)
-            return mod(h, context, tap=tap, injection=injection, collect=collect)
+            return mod(
+                h, context, tap=tap, injection=injection, collect=collect,
+                ctx_tile=tile if tile else 1,
+            )
 
         t_emb = timestep_embedding(
             timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift
@@ -432,8 +472,14 @@ class UNet2DCondition(nn.Module):
                             dtype=self.dtype, fused_norm=cfg.fused_norm,
                             name=f"down_{i}_tf_{j}",
                         ),
-                        x, f"down.{i}.tf.{j}",
+                        x, f"down.{i}.tf.{j}", tile=pending_tile,
                     )
+                    if pending_tile:
+                        # the first transformer tiled the batch inside; bring
+                        # temb and the already-collected skips along
+                        temb = jnp.repeat(temb, pending_tile, axis=0)
+                        skips = [jnp.repeat(s, pending_tile, axis=0) for s in skips]
+                        pending_tile = 0
                 skips.append(x)
             if i < n_blocks - 1:
                 x = Downsample(ch, dtype=self.dtype, name=f"down_{i}_downsample")(x)
@@ -448,8 +494,12 @@ class UNet2DCondition(nn.Module):
                 depth=cfg.transformer_layers, groups=cfg.norm_num_groups,
                 dtype=self.dtype, fused_norm=cfg.fused_norm, name="mid_tf",
             ),
-            x, "mid.tf",
+            x, "mid.tf", tile=pending_tile,
         )
+        if pending_tile:  # no down block carried attention: tile at mid
+            temb = jnp.repeat(temb, pending_tile, axis=0)
+            skips = [jnp.repeat(s, pending_tile, axis=0) for s in skips]
+            pending_tile = 0
         x = res_call(Res(mid_ch, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_res_1"), x, "")
 
         # --- up ---

@@ -78,7 +78,10 @@ class SDFeaturizer:
         ids = jnp.asarray(sd.tokenizer([prompt]))
         ctx = sd.clip.apply(sd.clip_params, ids)[0].astype(jnp.float32)
         fn = self._feature_fn(up_ft_index, ensemble_size)
-        feat = fn(sd.unet_params, sd.vae_params, latent, ctx, jnp.asarray(t, jnp.int32), kens)
+        # sweep_params: the SAME compute-dtype tree the typicality engines use
+        # (flax casts params to the module dtype in-kernel either way, so this
+        # changes no numerics — it avoids holding a second parameter copy)
+        feat = fn(sd.sweep_params(), sd.vae_params, latent, ctx, jnp.asarray(t, jnp.int32), kens)
         return np.asarray(feat)
 
     def patch_feature(

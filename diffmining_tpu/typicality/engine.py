@@ -54,7 +54,7 @@ def sample_noise_and_t(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("unet", "n_samples", "chunk", "t_lo", "t_hi"),
+    static_argnames=("unet", "n_samples", "chunk", "t_lo", "t_hi", "dedup_prefix"),
 )
 def sweep_losses(
     unet: UNet2DCondition,  # static: flax modules hash by config, so every
@@ -69,6 +69,7 @@ def sweep_losses(
     chunk: int,
     t_lo: int,
     t_hi: int,
+    dedup_prefix: bool = False,
 ) -> jax.Array:
     """Returns per-pixel losses [B, N, n_cond, h, w, C] in fp16.
 
@@ -102,13 +103,23 @@ def sweep_losses(
             noise_c,
             t_c,
         )  # [B, chunk, h, w, C]
-        # tile over conditions: batch = B*chunk*n_cond
-        noisy_b = jnp.broadcast_to(noisy[:, :, None], (B, chunk, n_cond, h, w, C))
-        noisy_b = noisy_b.reshape(B * chunk * n_cond, h, w, C).astype(lat_dtype)
-        t_b = jnp.broadcast_to(t_c[:, :, None], (B, chunk, n_cond)).reshape(-1)
         ctx_b = jnp.broadcast_to(ctx[:, None], (B, chunk) + ctx.shape[1:])
         ctx_b = ctx_b.reshape(B * chunk * n_cond, *ctx.shape[2:])
-        pred = unet.apply(params, noisy_b, t_b, ctx_b)
+        if dedup_prefix:
+            # cond/null share the noisy latent AND t: feed the B*chunk unique
+            # rows and let the UNet tile at the first cross-attention
+            # (models/unet.py ctx_tile) — the condition-independent prefix
+            # (conv_in, first resnet, the L=h*w self-attention) runs once per
+            # (image, sample) instead of n_cond times.
+            noisy_b = noisy.reshape(B * chunk, h, w, C).astype(lat_dtype)
+            t_b = t_c.reshape(-1)
+            pred = unet.apply(params, noisy_b, t_b, ctx_b, ctx_tile=n_cond)
+        else:
+            # tile over conditions up front: batch = B*chunk*n_cond
+            noisy_b = jnp.broadcast_to(noisy[:, :, None], (B, chunk, n_cond, h, w, C))
+            noisy_b = noisy_b.reshape(B * chunk * n_cond, h, w, C).astype(lat_dtype)
+            t_b = jnp.broadcast_to(t_c[:, :, None], (B, chunk, n_cond)).reshape(-1)
+            pred = unet.apply(params, noisy_b, t_b, ctx_b)
         pred = pred.reshape(B, chunk, n_cond, h, w, C)
         # fp32 pred vs noise, elementwise MSE (reference compute.py:101)
         loss = (pred.astype(jnp.float32) - noise_c[:, :, None]) ** 2
@@ -139,9 +150,17 @@ class TypicalityEngine:
     dtype: Any = jnp.bfloat16
     mesh: Any = None
     cast_params: bool = True
+    # run the condition-independent UNet prefix once per (image, sample) and
+    # tile at the first cross-attention (None = env DIFFMINING_SWEEP_DEDUP,
+    # default ON; set =0 to revert to the reference's up-front tiling)
+    dedup_prefix: Any = None
 
     def __post_init__(self):
         self._base_key = jax.random.PRNGKey(self.seed)
+        if self.dedup_prefix is None:
+            import os
+
+            self.dedup_prefix = os.environ.get("DIFFMINING_SWEEP_DEDUP", "1") != "0"
         if self.cast_params and self.dtype == jnp.bfloat16:
             # inference sweep: bf16 weights halve HBM weight traffic; the
             # loss is still accumulated in fp32 (sweep_losses)
@@ -172,20 +191,37 @@ class TypicalityEngine:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             dp = self.mesh.shape["dp"]
-            if B % dp == 0:
-                data = NamedSharding(self.mesh, P("dp"))
-                latents = jax.device_put(latents, data)
-                ctx = jax.device_put(ctx, data)
-                keys = jax.device_put(keys, data)
-                if not hasattr(self, "_placed_params"):
-                    self._placed_params = jax.device_put(
-                        self.unet_params, NamedSharding(self.mesh, P())
+            pad = (-B) % dp
+            if pad:
+                # pad-to-shardable rather than silently running unsharded
+                # (an unannounced 1-chip fallback is an 8x perf loss on a pod)
+                if not getattr(self, "_warned_pad", False):
+                    print(
+                        f"typicality: padding sweep batch {B} -> {B + pad} to shard "
+                        f"over dp={dp}; set batch_images to a multiple of dp to "
+                        f"avoid the padded work"
                     )
-                return sweep_losses(
-                    self.unet, self._placed_params, self.schedule,
-                    latents.astype(self.dtype), ctx, keys,
-                    self.n_samples, self.chunk, t_lo, t_hi,
+                    self._warned_pad = True
+                latents = jnp.concatenate([latents, jnp.repeat(latents[-1:], pad, axis=0)])
+                ctx = jnp.concatenate([ctx, jnp.repeat(ctx[-1:], pad, axis=0)])
+                keys = jnp.concatenate([keys, jnp.repeat(keys[-1:], pad, axis=0)])
+            data = NamedSharding(self.mesh, P("dp"))
+            latents = jax.device_put(latents, data)
+            ctx = jax.device_put(ctx, data)
+            keys = jax.device_put(keys, data)
+            if not hasattr(self, "_placed_params"):
+                # no-op (no copy) when the caller shares an already-placed
+                # tree, e.g. SD.sweep_params(mesh)
+                self._placed_params = jax.device_put(
+                    self.unet_params, NamedSharding(self.mesh, P())
                 )
+            out = sweep_losses(
+                self.unet, self._placed_params, self.schedule,
+                latents.astype(self.dtype), ctx, keys,
+                self.n_samples, self.chunk, t_lo, t_hi,
+                dedup_prefix=bool(self.dedup_prefix),
+            )
+            return out[:B] if pad else out
         return sweep_losses(
             self.unet,
             self.unet_params,
@@ -197,6 +233,7 @@ class TypicalityEngine:
             self.chunk,
             t_lo,
             t_hi,
+            dedup_prefix=bool(self.dedup_prefix),
         )
 
 

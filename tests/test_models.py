@@ -68,6 +68,42 @@ def test_unet_collect_then_inject(unet_setup):
     )
 
 
+def test_unet_ctx_tile_matches_upfront_tiling(unet_setup):
+    """ctx_tile=n (sweep prefix dedup) must equal running the UNet on the
+    up-front-tiled batch: everything before the first cross-attention is
+    condition-independent, so deduplicating it is pure CSE, not new math."""
+    unet, params, x, t, ctx = unet_setup
+    n_cond = 2
+    # per-image condition pairs, conditions adjacent (the engine's layout)
+    ctx_b = jax.random.normal(jax.random.PRNGKey(3), (2 * n_cond, 77, 32))
+    out_dedup = unet.apply(params, x, t, ctx_b, ctx_tile=n_cond)
+    out_plain = unet.apply(
+        params, jnp.repeat(x, n_cond, axis=0), jnp.repeat(t, n_cond), ctx_b
+    )
+    assert out_dedup.shape == out_plain.shape == (2 * n_cond, 16, 16, 4)
+    np.testing.assert_allclose(
+        np.asarray(out_dedup), np.asarray(out_plain), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_unet_ctx_tile_no_down_attention():
+    """A config whose down blocks carry no transformers tiles at the mid
+    block instead — the fallback path."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_UNET, down_block_has_attn=(False, False))
+    unet = UNet2DCondition(cfg)
+    x = jnp.ones((2, 16, 16, 4))
+    t = jnp.array([5, 7])
+    ctx_b = jax.random.normal(jax.random.PRNGKey(4), (4, 77, 32))
+    params = unet.init(jax.random.PRNGKey(0), x, t, ctx_b[:2])
+    out_dedup = unet.apply(params, x, t, ctx_b, ctx_tile=2)
+    out_plain = unet.apply(params, jnp.repeat(x, 2, axis=0), jnp.repeat(t, 2), ctx_b)
+    np.testing.assert_allclose(
+        np.asarray(out_dedup), np.asarray(out_plain), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_unet_timestep_dependence(unet_setup):
     unet, params, x, t, ctx = unet_setup
     e1 = unet.apply(params, x, jnp.array([5, 5]), ctx)
