@@ -56,6 +56,45 @@ def normalize(dm: np.ndarray, positive_only=False):
     return (dm + 1) / 2.0
 
 
+def filter_by_contrast(
+    arr: np.ndarray, fraction_threshold: float = 0.05,
+    lower_percentile: float = 1, upper_percentile: float = 99, method: str = "linear",
+) -> bool:
+    """True when the patch is NOT low-contrast (reference utils.py:230-231,
+    skimage exposure.is_low_contrast semantics): the [lower, upper] percentile
+    spread of the grayscale intensities, normalized by the dtype range, must
+    exceed `fraction_threshold`."""
+    a = np.asarray(arr)
+    limit = 255.0 if a.dtype == np.uint8 else 1.0
+    if a.ndim == 3:  # rgb2gray luminance (skimage weights)
+        a = a[..., :3] @ np.array([0.2125, 0.7154, 0.0721])
+    lo, hi = np.percentile(a, [lower_percentile, upper_percentile], method=method)
+    return float(hi - lo) / limit > fraction_threshold
+
+
+def filter_by_gradient(
+    arr: np.ndarray, fraction_threshold: float = 0.05,
+    lower_percentile: float = 0.01, upper_percentile: float = 0.99,
+) -> bool:
+    """True when the mean local gradient is above threshold (reference
+    utils.py:233-235: skimage rank.gradient_percentile with a 3x3 footprint —
+    per pixel, the [p0, p1]-percentile spread of its neighborhood). Borders
+    use edge replication (skimage's sliding-histogram rank filter mirrors;
+    on 3x3 footprints the two agree except at the 1-px frame)."""
+    a = np.asarray(arr)
+    if a.ndim == 3:
+        a = (a[..., :3] @ np.array([0.2125, 0.7154, 0.0721]))
+    a = a.astype(np.float64)
+    p = np.pad(a, 1, mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(p, (3, 3)).reshape(*a.shape, 9)
+    lo = np.quantile(win, lower_percentile, axis=-1)
+    hi = np.quantile(win, upper_percentile, axis=-1)
+    return float(np.mean(hi - lo)) > fraction_threshold
+
+
+PATCH_FILTERS = {"contrast": filter_by_contrast, "gradient": filter_by_gradient}
+
+
 def mean_agg(vs):
     return sum(v[1] for v in vs) / (1.0 * len(vs))
 
@@ -79,6 +118,8 @@ class Cluster(Typicality):
         cache_features: bool = True,
         sd: Optional[SD] = None,
         dift_sd: Optional[SD] = None,
+        clip_dir: Optional[str] = None,
+        clip_bundle: Optional[dict] = None,
     ):
         # model-free init: score maps only need the artifacts (reference
         # cluster.py:58 passes model_path=None to Typicality)
@@ -92,6 +133,13 @@ class Cluster(Typicality):
         self.cache_features = cache_features
         self._dift_sd = dift_sd
         self.dift: Optional[SDFeaturizer] = None
+        # CLIP patch features ("clip" / "clip+dift-*" modes, reference
+        # cluster.py:216-221,243-301): a converted transformers CLIPModel dir
+        # (the reference defaults to openai/clip-vit-base-patch32); or inject
+        # a {"config", "params"} vision bundle directly (tests)
+        self.clip_dir = clip_dir
+        self._clip_bundle = clip_bundle
+        self._clip_embed = None
 
     # ------------------------------------------------------------------
     # score maps
@@ -169,11 +217,34 @@ class Cluster(Typicality):
                 out[country] = dfs
         return out
 
-    @staticmethod
-    def get_top_k(df: pd.DataFrame, key: str = "D", k: int = 1000, randomize: bool = False, ascending: bool = False) -> pd.DataFrame:
+    def get_top_k(
+        self, df: pd.DataFrame, key: str = "D", k: int = 1000, randomize: bool = False,
+        ascending: bool = False, filter_by: tuple = (),
+    ) -> pd.DataFrame:
+        """Top-k patch rows, optionally pre-filtered by image statistics.
+
+        `filter_by` = [("contrast", kwargs), ("gradient", kwargs)] applies the
+        reference's patch filters (utils.py:230-252) to each crop before
+        ranking. NOTE: the reference's filter branch falls through without a
+        return (utils.py:242-251 — the experimental path returns None); here
+        filtering composes with the sort+slice, which is the evident intent."""
         k = min(len(df), k)
         if randomize:
             return df.sample(k, random_state=0)
+        if filter_by:
+            assert all(f in PATCH_FILTERS for f, _ in filter_by), filter_by
+            keep = []
+            for i in range(len(df)):
+                row = df.iloc[i]
+                pil = self.load_image(row["seed"]).crop((
+                    int(row["y_start"]), int(row["x_start"]),
+                    int(row["y_end"]), int(row["x_end"]),
+                ))
+                arr = np.asarray(pil)
+                if all(PATCH_FILTERS[f](arr, **kw) for f, kw in filter_by):
+                    keep.append(row)
+            df = pd.DataFrame(keep, columns=df.columns)
+            k = min(len(df), k)
         return df.sort_values(by=[key], ascending=ascending).reset_index(drop=True).iloc[:k]
 
     # ------------------------------------------------------------------
@@ -188,13 +259,61 @@ class Cluster(Typicality):
                 sd = SD.from_pipeline_dir(self.which, self.model_path, [])
             self.dift = SDFeaturizer(sd)
 
+    def init_clip(self):
+        """Lazy CLIP image embedder for the `clip` feature modes (reference
+        cluster.py:216-229: CLIPModel.get_image_features of the crop through
+        the processor, L2-normalized)."""
+        if self._clip_embed is not None:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from diffmining_tpu.baselines.clipmining import CLIP_MEAN, CLIP_STD, resize_center_crop
+        from diffmining_tpu.models.clip import CLIPVisionModel
+
+        if self._clip_bundle is None:
+            assert self.clip_dir is not None, (
+                "clip feature modes need --clip_dir (a converted CLIPModel "
+                "checkpoint dir, e.g. clip-vit-base-patch32)"
+            )
+            from diffmining_tpu.utils.weights import load_clip_dir
+
+            b = load_clip_dir(self.clip_dir)
+            cfg, params = b["vision"]["config"], {"params": b["vision"]["params"]}
+        else:
+            cfg, params = self._clip_bundle["config"], self._clip_bundle["params"]
+        model = CLIPVisionModel(cfg)
+        pooled_fn = jax.jit(lambda p, x: model.apply(p, x)[0])
+        size = cfg.image_size
+
+        def embed(pil) -> np.ndarray:
+            img = resize_center_crop(pil.convert("RGB"), size)
+            x = (np.asarray(img, np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+            v = np.asarray(pooled_fn(params, jnp.asarray(x)[None]), np.float32)[0]
+            return v / max(float(np.linalg.norm(v)), 1e-12)
+
+        self._clip_embed = embed
+
+    @staticmethod
+    def parse_feature_which(feature_which: str):
+        """'dift-161' / 'clip' / 'clip+dift-161' -> (use_dift, use_clip, t)
+        (reference cluster.py:247-253's tag grammar)."""
+        use_dift = "dift" in feature_which
+        use_clip = "clip" in feature_which
+        t = None
+        if use_clip and use_dift:
+            t = int(feature_which.split("+")[1].split("-")[1])
+        elif use_dift:
+            t = int(feature_which.split("-")[1])
+        return use_dift, use_clip, t
+
     def compute_embeddings(
         self, df: pd.DataFrame, c: str, to_add_border: bool = True, feature_which: str = "dift-261"
     ):
         """Per-patch features (reference cluster.py:243-310): DIFT = crop of
-        the whole-image feature map; cached per patch id."""
-        use_dift = "dift" in feature_which
-        t = int(feature_which.split("-")[1]) if use_dift else None
+        the whole-image feature map (mean, L2-norm); CLIP = image embedding of
+        the cropped patch; clip+dift = their concatenation. Cached per patch."""
+        use_dift, use_clip, t = self.parse_feature_which(feature_which)
         X, ids, pils, ds, orig_path = [], [], [], [], []
         emb_dir = join(self.cache_path, "embeddings", feature_which)
         os.makedirs(emb_dir, exist_ok=True)
@@ -216,11 +335,21 @@ class Cluster(Typicality):
                 with open(pkl_file, "rb") as f:
                     emb = pickle.load(f)
             else:
-                self.init_dift()
-                arr = image_to_array(pil)
-                emb = self.dift.patch_feature(
-                    arr, dift_prompt(self.which, c), (x0, y0, x1, y1), t=t, uid=image_uid(row["seed"])
-                )
+                parts = []
+                if use_clip:
+                    self.init_clip()
+                    parts.append(self._clip_embed(patch))
+                if use_dift:
+                    self.init_dift()
+                    arr = image_to_array(pil)
+                    parts.append(
+                        self.dift.patch_feature(
+                            arr, dift_prompt(self.which, c), (x0, y0, x1, y1), t=t, uid=image_uid(row["seed"])
+                        )
+                    )
+                # clip+dift concatenates [clip, dift] (reference cluster.py:
+                # 279-291: emb_a = clip crop embed, emb_b = dift, concat)
+                emb = parts[0] if len(parts) == 1 else np.concatenate(parts)
                 if self.cache_features:
                     from diffmining_tpu.utils.artifacts import atomic_save_pickle
 
@@ -406,7 +535,15 @@ def main(argv=None):
     parser.add_argument("--cluster", action="store_true")
     parser.add_argument("--topk", action="store_true")
     parser.add_argument("--umap", action="store_true")
-    parser.add_argument("--feature_which", type=str, default="dift-161")
+    parser.add_argument(
+        "--feature_which", type=str, default="dift-161",
+        help="dift-{t} | clip | clip+dift-{t} (reference cluster.py:247-253)",
+    )
+    parser.add_argument(
+        "--clip_dir", type=str, default=None,
+        help="converted CLIPModel dir for the clip feature modes "
+        "(the reference uses openai/clip-vit-base-patch32)",
+    )
     parser.add_argument("--figure_path", type=str, default=None)
     parser.add_argument("--top_full_images", action="store_true")
     parser.add_argument("--num_images", type=int, default=None)
@@ -424,7 +561,7 @@ def main(argv=None):
     cluster = Cluster(
         args.which, args.typicality_path, args.dataset_path, args.cache_path, args.recache,
         model_path=args.model_path, aggregate=args.aggregate, kx=args.k, ky=args.k,
-        cache_features=args.cache_features,
+        cache_features=args.cache_features, clip_dir=args.clip_dir,
     )
     if args.topk:
         cluster.plot_top_k(k_per_image=5, k=(50 if args.num_images is None else args.num_images))

@@ -65,6 +65,111 @@ def test_clustering_end_to_end(setup):
     assert len(os.listdir(emb_dir)) > 0
 
 
+@pytest.fixture(scope="module")
+def clip_bundle():
+    import jax
+    import jax.numpy as jnp
+
+    from diffmining_tpu.models.clip import CLIPVisionModel, TINY_CLIP_VISION
+
+    model = CLIPVisionModel(TINY_CLIP_VISION)
+    size = TINY_CLIP_VISION.image_size
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+    return {"config": TINY_CLIP_VISION, "params": params}
+
+
+def test_parse_feature_which():
+    assert Cluster.parse_feature_which("dift-161") == (True, False, 161)
+    assert Cluster.parse_feature_which("clip") == (False, True, None)
+    assert Cluster.parse_feature_which("clip+dift-261") == (True, True, 261)
+
+
+def test_clustering_clip_features(setup, clip_bundle):
+    """`--feature_which clip` (reference cluster.py:243-301's else branch):
+    patch features = CLIP image embedding of the crop, L2-normalized."""
+    cl, root, cache = setup
+    cl._clip_bundle = clip_bundle
+    cl._clip_embed = None
+    results = cl.clustering(feature_which="clip", k_per_image=3, k=9, num_clusters=2)
+    assert sum(len(m) for m, _ in results[DECADES[0]]) == 9
+    emb_dir = join(cache, "embeddings", "clip")
+    embs = os.listdir(emb_dir)
+    assert len(embs) > 0
+    import pickle
+
+    with open(join(emb_dir, embs[0]), "rb") as f:
+        e = pickle.load(f)
+    assert e.shape == (clip_bundle["config"].projection_dim,)
+    np.testing.assert_allclose(np.linalg.norm(e), 1.0, rtol=1e-4)
+
+
+def test_clustering_clip_plus_dift_features(setup, clip_bundle):
+    """clip+dift-161 concatenates [clip crop embed, dift patch feature]
+    (reference cluster.py:279-291)."""
+    cl, root, cache = setup
+    cl._clip_bundle = clip_bundle
+    cl._clip_embed = None
+    dfs = {c: cl.get_top_k(t[0], k=4) for c, t in cl.patch_tables(k_per_image=2).items()}
+    X, ids, pils, ds, _ = cl.compute_embeddings(
+        dfs[DECADES[0]], c=DECADES[0], feature_which="clip+dift-161"
+    )
+    # tiny stack: clip projection_dim + dift up_ft channel count
+    clip_dim = clip_bundle["config"].projection_dim
+    assert all(x.shape[0] > clip_dim for x in X)
+    # the clip half is itself L2-normed, so the concat norm is sqrt(2)
+    np.testing.assert_allclose(
+        np.linalg.norm(X[0][:clip_dim]), 1.0, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.linalg.norm(X[0][clip_dim:]), 1.0, rtol=1e-4
+    )
+
+
+def test_patch_filters():
+    from diffmining_tpu.typicality.cluster import filter_by_contrast, filter_by_gradient
+
+    rng = np.random.RandomState(0)
+    flat = np.full((32, 32, 3), 128, dtype=np.uint8)
+    noisy = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+    assert not filter_by_contrast(flat)
+    assert filter_by_contrast(noisy)
+    assert not filter_by_gradient(flat)
+    assert filter_by_gradient(noisy)
+    # skimage parity (activates when the library exists in-image)
+    skimage = pytest.importorskip("skimage")
+    from skimage import exposure
+
+    for img in (flat, noisy):
+        assert filter_by_contrast(img) == (not exposure.is_low_contrast(img))
+
+
+def test_get_top_k_filter_by(setup, tmp_path_factory):
+    """filter_by drops low-contrast crops before ranking (reference
+    utils.py:237-252's experimental surface, minus its fall-through bug)."""
+    cl, root, cache = setup
+    # one flat image whose patches must be filtered out
+    flat_dir = join(root, DECADES[0])
+    flat_path = join(flat_dir, "flat.jpg")
+    Image.fromarray(np.full((32, 32, 3), 200, dtype=np.uint8)).save(flat_path)
+    try:
+        df = cl.patch_tables(k_per_image=2)[DECADES[0]][0]
+        import pandas as pd
+
+        extra = pd.DataFrame(
+            [(flat_path, 0, 0, 8, 8, 99.0, "real")], columns=df.columns
+        )
+        df = pd.concat([df, extra], ignore_index=True)
+        top_plain = cl.get_top_k(df, k=100)
+        top_filtered = cl.get_top_k(df, k=100, filter_by=(("contrast", {}),))
+        assert flat_path in set(top_plain.seed)
+        assert flat_path not in set(top_filtered.seed)
+        assert len(top_filtered) == len(top_plain) - 1
+        # still sorted descending by D
+        assert (top_filtered.D.values == np.sort(top_filtered.D.values)[::-1]).all()
+    finally:
+        os.remove(flat_path)
+
+
 def test_make_figure(setup, tmp_path_factory):
     cl, root, cache = setup
     figs = str(tmp_path_factory.mktemp("figs"))
