@@ -64,6 +64,69 @@ def decision_function(X: np.ndarray, w: np.ndarray, b: float = 0.0) -> np.ndarra
     return np.asarray(X, np.float32) @ np.asarray(w, np.float32) + b
 
 
+def primal_objective(X: np.ndarray, y: np.ndarray, w: np.ndarray, b: float, C: float) -> float:
+    """0.5·||w||² + C·Σ hinge — the quantity both solvers minimize."""
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y, np.float64)
+    w = np.asarray(w, np.float64)
+    hinge = np.maximum(0.0, 1.0 - y * (X @ w + b)).sum()
+    return float(0.5 * (w @ w) + C * hinge)
+
+
+def fit_svm_smo(
+    X: np.ndarray, y: np.ndarray, C: float = 0.1, tol: float = 1e-5,
+    max_passes: int = 50, seed: int = 0,
+) -> Tuple[np.ndarray, float, np.ndarray]:
+    """EXACT small-problem reference solver: Platt's SMO on the soft-margin
+    dual (the same QP libsvm's SVC solves, reference doersch.py:71-79). O(n²)
+    kernel matrix — intended for ≤ a few hundred points, as the in-repo oracle
+    that bounds the primal-Adam solver's optimality gap numerically
+    (test_doersch.py); returns (w, b, alpha)."""
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y, np.float64)
+    n = len(y)
+    K = X @ X.T
+    alpha = np.zeros(n)
+    b = 0.0
+    rng = np.random.RandomState(seed)
+    passes = 0
+    while passes < max_passes:
+        changed = 0
+        for i in range(n):
+            Ei = float((alpha * y) @ K[:, i] + b - y[i])
+            if not ((y[i] * Ei < -tol and alpha[i] < C) or (y[i] * Ei > tol and alpha[i] > 0)):
+                continue
+            j = rng.randint(n - 1)
+            j = j + (j >= i)
+            Ej = float((alpha * y) @ K[:, j] + b - y[j])
+            ai, aj = alpha[i], alpha[j]
+            if y[i] != y[j]:
+                L, H = max(0.0, aj - ai), min(C, C + aj - ai)
+            else:
+                L, H = max(0.0, ai + aj - C), min(C, ai + aj)
+            if L == H:
+                continue
+            eta = 2.0 * K[i, j] - K[i, i] - K[j, j]
+            if eta >= 0:
+                continue
+            alpha[j] = float(np.clip(aj - y[j] * (Ei - Ej) / eta, L, H))
+            if abs(alpha[j] - aj) < 1e-9:
+                continue
+            alpha[i] = ai + y[i] * y[j] * (aj - alpha[j])
+            b1 = b - Ei - y[i] * (alpha[i] - ai) * K[i, i] - y[j] * (alpha[j] - aj) * K[i, j]
+            b2 = b - Ej - y[i] * (alpha[i] - ai) * K[i, j] - y[j] * (alpha[j] - aj) * K[j, j]
+            if 0 < alpha[i] < C:
+                b = b1
+            elif 0 < alpha[j] < C:
+                b = b2
+            else:
+                b = (b1 + b2) / 2.0
+            changed += 1
+        passes = passes + 1 if changed == 0 else 0
+    w = (alpha * y) @ X
+    return w, float(b), alpha
+
+
 def train_svm(X, split, max_samples, C: float = 0.1):
     """Reference train_svm semantics (doersch.py:66-79): X = positives +
     hard-negatives + negatives in order; returns (w, new hard negatives =

@@ -101,6 +101,24 @@ def test_kmeans_recovers_separated_clusters():
     assert km.inertia_ < 50 * 3 * 0.1
 
 
+def test_kmeans_sklearn_parity():
+    """Activates the day sklearn exists in-image: our MXU Lloyd must reach
+    the same objective (inertia) as sklearn.cluster.KMeans on blobs
+    (reference cluster.py:313)."""
+    sklearn_cluster = pytest.importorskip("sklearn.cluster")
+
+    rng = np.random.RandomState(0)
+    X = np.concatenate([rng.randn(60, 6) + c for c in (-6, 0, 6)]).astype(np.float32)
+    ours = KMeans(n_clusters=3, random_state=10).fit(X)
+    ref = sklearn_cluster.KMeans(n_clusters=3, random_state=10, n_init=10).fit(X)
+    assert ours.inertia_ <= ref.inertia_ * 1.02
+    # identical partitions up to label permutation on well-separated blobs
+    from collections import Counter
+
+    pairs = Counter(zip(ours.labels_.tolist(), ref.labels_.tolist()))
+    assert len(pairs) == 3
+
+
 def test_kmeans_deterministic():
     rng = np.random.RandomState(1)
     x = rng.randn(100, 8).astype(np.float32)

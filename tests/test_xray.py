@@ -52,6 +52,20 @@ def test_gaussian_blur_preserves_mass():
     assert abs(out.mean() - dm.mean()) < 0.01
 
 
+def test_gaussian_blur_matches_numpy_reference():
+    """The device-side separable conv must reproduce the host reference
+    (same kernel, same reflect padding), incl. at the production 127/32."""
+    from diffmining_tpu.applications.xray import gaussian_blur_np
+
+    rng = np.random.RandomState(1)
+    for shape, sigma, ksize in [((64, 64), 4.0, 15), ((140, 150), 32.0, 127)]:
+        dm = rng.rand(*shape).astype(np.float32)
+        np.testing.assert_allclose(
+            gaussian_blur(dm, sigma, ksize), gaussian_blur_np(dm, sigma, ksize),
+            rtol=2e-5, atol=2e-6,
+        )
+
+
 @pytest.fixture(scope="module")
 def xray_dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("cxr")
