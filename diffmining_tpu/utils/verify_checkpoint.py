@@ -72,6 +72,13 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="verify a converted SD pipeline checkpoint")
     ap.add_argument("pipeline_dir")
     ap.add_argument("--probes", default=None, help="npz of torch activations (scripts_tpu/record_probes.py)")
+    ap.add_argument(
+        "--torch_oracle", action="store_true",
+        help="run the checkpoint's own weights through the in-repo torch "
+        "transcription (utils/torch_oracle.py) and compare one UNet forward "
+        "against the converted flax model — full-config parity with NO "
+        "external recordings needed",
+    )
     ap.add_argument("--probe_tol", type=float, default=5e-2, help="max|Δ| gate for probe parity (bf16 compute)")
     ap.add_argument("--theirs", default=None, help="reference typicality artifact tree to correlate against")
     ap.add_argument("--which", default="cars")
@@ -140,6 +147,56 @@ def main(argv=None) -> int:
         if args.probes:
             print("[probe:*] SKIP (forward failed)")
             args.probes = None
+
+    # 4a. torch oracle --------------------------------------------------------
+    if args.torch_oracle:
+        try:
+            import torch
+
+            from diffmining_tpu.utils.torch_oracle import UNet2DConditionRef
+            from diffmining_tpu.utils.weights import load_safetensors_dir
+
+            cfg = p["unet"]["config"]
+            tref = UNet2DConditionRef(
+                in_channels=cfg.in_channels, out_channels=cfg.out_channels,
+                block_out_channels=cfg.block_out_channels,
+                layers_per_block=cfg.layers_per_block,
+                cross_attention_dim=cfg.cross_attention_dim,
+                num_attention_heads=cfg.num_attention_heads,
+                down_block_has_attn=cfg.down_block_has_attn,
+                norm_num_groups=cfg.norm_num_groups,
+            ).eval()
+            raw = load_safetensors_dir(join(args.pipeline_dir, "unet"))
+            missing, unexpected = tref.load_state_dict(
+                {k: torch.from_numpy(np.asarray(v, np.float32)) for k, v in raw.items()},
+                strict=False,
+            )
+            if missing:
+                print(f"[torch_oracle] FAIL ({len(missing)} checkpoint keys missing, e.g. {missing[:3]})")
+                ok = False
+            else:
+                if unexpected:
+                    print(f"[torch_oracle] note: {len(unexpected)} unconsumed checkpoint keys, e.g. {unexpected[:3]}")
+                rng_np = np.random.RandomState(0)
+                x = rng_np.randn(1, cfg.in_channels, 16, 16).astype(np.float32)
+                ctx = rng_np.randn(1, 77, D).astype(np.float32)
+                with torch.no_grad():
+                    want = tref(torch.from_numpy(x), torch.tensor([261]), torch.from_numpy(ctx)).numpy()
+                got = np.asarray(
+                    unet.apply(
+                        {"params": p["unet"]["params"]},
+                        jnp.asarray(x.transpose(0, 2, 3, 1)),
+                        jnp.asarray([261], jnp.int32), jnp.asarray(ctx),
+                    )
+                ).transpose(0, 3, 1, 2)
+                d = float(np.abs(got - want).max())
+                r = pearson(got, want)
+                good = d < args.probe_tol and r > 0.999
+                print(f"[torch_oracle] {'PASS' if good else 'FAIL'} max|Δ|={d:.2e} pearson={r:.6f}")
+                ok &= good
+        except Exception as e:
+            print(f"[torch_oracle] FAIL ({type(e).__name__}: {str(e).splitlines()[0][:120]})")
+            ok = False
 
     # 4. probes --------------------------------------------------------------
     if args.probes:

@@ -54,6 +54,15 @@ def test_verify_passes_on_clean_export(pipeline_dir, tmp_path):
     assert verify_main([out, "--probes", probes]) == 0
 
 
+def test_verify_torch_oracle_stage(pipeline_dir):
+    """--torch_oracle loads the checkpoint's own weights into the in-repo
+    torch transcription and pins forward parity with no external recordings
+    (VERDICT r2 next #10): a clean export must PASS the stage."""
+    pytest.importorskip("torch")
+    out, _ = pipeline_dir
+    assert verify_main([out, "--torch_oracle"]) == 0
+
+
 def test_verify_fails_on_corrupted_checkpoint(pipeline_dir, tmp_path):
     import shutil
 
