@@ -18,11 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if jax.default_backend() not in ("cpu",):
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+# force CPU unconditionally BEFORE any backend initialization: probing
+# jax.default_backend() would initialize the axon TPU plugin, which both
+# wastes the tunnel and fails hard when the relay is down — the tiny stack
+# is CPU-sized by design
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 import numpy as np
 from PIL import Image
