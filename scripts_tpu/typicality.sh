@@ -11,8 +11,11 @@ set -e
 WHICH="$1"; FT_MODEL_PATH="$2"; DATA_PATH="$3"; k="${4:-64}"
 PT_MODEL_PATH="${5:-models/sd-v1-5}"
 MAIN_PATH="results/${WHICH}"
-WHICH_FEATURE="dift-161"
+WHICH_FEATURE="${WHICH_FEATURE:-dift-161}"   # dift-{t} | clip | clip+dift-{t}
 t_min="0.1"; t_max="0.7"
+# MESH_DP=N shards the sweep batch over an N-chip dp mesh (pods); unset = 1 chip
+MESH_FLAG=""
+[ -n "${MESH_DP:-}" ] && MESH_FLAG="--mesh_dp ${MESH_DP}"
 for mode in pt ft; do
   if [ "${mode}" = "pt" ]; then
     MODEL_PATH="${PT_MODEL_PATH}"
@@ -33,7 +36,7 @@ for mode in pt ft; do
       --model_path "${MODEL_PATH}" --t_min ${t_min} --t_max ${t_max}
   python -m diffmining_tpu.typicality.compute --typicality_path "${TYPICALITY}" \
       -i "${DATA_PATH}" -m "${MODEL_PATH}" --submission_path "${SUBMISSION_PATH}" \
-      --make_submission --sub_split 1 --which "${WHICH}" --t_min ${t_min} --t_max ${t_max}
+      --make_submission --sub_split 1 --which "${WHICH}" --t_min ${t_min} --t_max ${t_max} ${MESH_FLAG}
   MAIN="python -m diffmining_tpu.typicality.cluster --which ${WHICH} --typicality_path ${TYPICALITY} --cache_path ${CACHE_PATH} --model_path ${MODEL_PATH} --k ${k} -d ${DATA_PATH}"
   ${MAIN} --cluster --feature_which ${WHICH_FEATURE}
   ${MAIN} --figure_path "${FIGURE_PATH}" --feature_which ${WHICH_FEATURE}
