@@ -83,6 +83,8 @@ class ParallelCluster:
         sd: Optional[SD] = None,
         dift_sd: Optional[SD] = None,
         faithful_centers: bool = True,
+        clip_dir: Optional[str] = None,
+        clip_bundle: Optional[dict] = None,
     ):
         self.typ = ParallelTypicality(None, dataset_path, typicality_path, sd=sd)
         self.D = self.typ.D
@@ -96,6 +98,17 @@ class ParallelCluster:
         self.faithful_centers = faithful_centers
         self._dift_sd = dift_sd
         self.dift: Optional[SDFeaturizer] = None
+        # clip / clip+dift-* feature modes (reference parallel cluster.py:
+        # 146-190): CLIP embeds of the per-country crops, flattened concat
+        self.clip_dir = clip_dir
+        self._clip_bundle = clip_bundle
+        self._clip_embed = None
+
+    def init_clip(self):
+        if self._clip_embed is None:
+            from diffmining_tpu.typicality.cluster import Cluster
+
+            Cluster.init_clip(self)  # same lazy embedder, same bundle fields
 
     # ------------------------------------------------------------------
 
@@ -151,32 +164,57 @@ class ParallelCluster:
                 sd = SD.from_pipeline_dir("geo", self.model_path, [])
             self.dift = SDFeaturizer(sd)
 
-    def embed_batch(self, images: Sequence[Image.Image], t: int, idd: str, bbox) -> np.ndarray:
-        """Concat per-country DIFT features of the same box across all
-        translations (reference cluster.py:152-190); bbox = (y0, x0, y1, x1)."""
-        emb_dir = join(self.cache_path, "embeddings", f"dift-{t}")
+    def _cached(self, sub: str, idd: str, fn):
+        emb_dir = join(self.cache_path, "embeddings", sub)
         os.makedirs(emb_dir, exist_ok=True)
         pkl_file = join(emb_dir, f"{idd}.pkl")
         if os.path.isfile(pkl_file):
             with open(pkl_file, "rb") as f:
                 return pickle.load(f)
-        self.init_dift()
-        y0, x0, y1, x1 = bbox
-        feats = []
-        for c, pil in zip(self.countries, images):
-            arr = image_to_array(pil)
-            emb = self.dift.patch_feature(
-                arr, f"{c}", (x0, y0, x1, y1), t=t, uid=image_uid(idd + c)
-            )
-            feats.append(emb)
-        out = np.concatenate(feats)
+        out = fn()
         with open(pkl_file, "wb") as f:
             pickle.dump(out, f)
         return out
 
+    def embed_batch(
+        self, images: Sequence[Image.Image], t: Optional[int], idd: str, bbox,
+        use_dift: bool = True, use_clip: bool = False,
+    ) -> np.ndarray:
+        """Concat per-country features of the same box across all translations
+        (reference cluster.py:152-190); bbox = (y0, x0, y1, x1). DIFT = per-
+        country patch features concatenated; CLIP = per-country crop embeds
+        (each L2-normed) flattened; clip+dift = [clip | dift]."""
+        parts = []
+        if use_clip:
+            def clip_feats():
+                self.init_clip()
+                y0, x0, y1, x1 = bbox
+                return np.concatenate(
+                    [self._clip_embed(pil.crop((y0, x0, y1, x1))) for pil in images]
+                )
+
+            parts.append(self._cached("clip", idd, clip_feats))
+        if use_dift:
+            def dift_feats():
+                self.init_dift()
+                y0, x0, y1, x1 = bbox
+                feats = []
+                for c, pil in zip(self.countries, images):
+                    arr = image_to_array(pil)
+                    feats.append(
+                        self.dift.patch_feature(
+                            arr, f"{c}", (x0, y0, x1, y1), t=t, uid=image_uid(idd + c)
+                        )
+                    )
+                return np.concatenate(feats)
+
+            parts.append(self._cached(f"dift-{t}", idd, dift_feats))
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
     def compute_embeddings(self, df: pd.DataFrame, feature_which: str = "dift-261"):
-        assert "dift" in feature_which
-        t = int(feature_which.split("-")[1])
+        from diffmining_tpu.typicality.cluster import Cluster
+
+        use_dift, use_clip, t = Cluster.parse_feature_which(feature_which)
         X, ids, pils, ds, origins = [], [], [], [], []
         for i in range(df.shape[0]):
             row = df.iloc[i]
@@ -187,7 +225,7 @@ class ParallelCluster:
             name = os.path.split(row["path_" + row["origin"]])[1]
             idd = os.path.splitext(name)[0] + f"_{x0}-{y0}-{x1}-{y1}"
             ids.append(idd)
-            X.append(self.embed_batch(images, t, idd, (y0, x0, y1, x1)))
+            X.append(self.embed_batch(images, t, idd, (y0, x0, y1, x1), use_dift=use_dift, use_clip=use_clip))
             bordered = [
                 add_border(img.crop((y0, x0, y1, x1)), "red" if c == row["origin"] else "transparent")
                 for c, img in zip(self.countries, images)
@@ -303,6 +341,11 @@ def main(argv=None):
     p.add_argument("--num_components", type=int, default=32)
     p.add_argument("--k", type=int, default=64)
     p.add_argument("--aggregate", default="median", choices=["mean", "median"])
+    p.add_argument(
+        "--clip_dir", type=str, default=None,
+        help="converted CLIPModel dir for the clip feature modes "
+        "(reference parallel cluster.py:146 default models/clip-vit-base-patch32)",
+    )
     args = p.parse_args(argv)
 
     if args.compute or args.make_submission:
@@ -317,6 +360,7 @@ def main(argv=None):
     cl = ParallelCluster(
         args.typicality_path, args.dataset_path, args.cache_path, args.recache,
         model_path=args.model_path, aggregate=args.aggregate, kx=args.k, ky=args.k,
+        clip_dir=args.clip_dir,
     )
     if args.cluster:
         cl.clustering(args.feature_which, k=k, num_clusters=args.num_clusters, num_components=args.num_components)

@@ -64,6 +64,37 @@ def test_df_pd_median_stack(computed, tmp_path_factory):
     assert row["D"] == pytest.approx(float(np.median(vals)), rel=1e-5)
 
 
+def test_parallel_clip_and_concat_modes(computed, tmp_path_factory):
+    """clip / clip+dift feature modes (reference parallel cluster.py:153-190):
+    clip = flattened concat of the per-country crop embeds (each L2-normed);
+    clip+dift = [clip | dift]."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffmining_tpu.models.clip import CLIPVisionModel, TINY_CLIP_VISION
+
+    sd, typ, typ_path, ds = computed
+    cache = str(tmp_path_factory.mktemp("pcache3"))
+    size = TINY_CLIP_VISION.image_size
+    vision = CLIPVisionModel(TINY_CLIP_VISION)
+    bundle = {
+        "config": TINY_CLIP_VISION,
+        "params": vision.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3))),
+    }
+    cl = ParallelCluster(typ_path, ds, cache, sd=sd, dift_sd=sd, kx=8, ky=8, clip_bundle=bundle)
+    df, _ = cl.df_PD(k_per_image=1)
+    X, ids, pils, ds_, origins = cl.compute_embeddings(df.iloc[:2], feature_which="clip")
+    D_clip = TINY_CLIP_VISION.projection_dim * len(COUNTRIES)
+    assert all(x.shape == (D_clip,) for x in X)
+    # each country's slice is L2-normed
+    np.testing.assert_allclose(
+        np.linalg.norm(X[0][: TINY_CLIP_VISION.projection_dim]), 1.0, rtol=1e-4
+    )
+    Xc, *_ = cl.compute_embeddings(df.iloc[:2], feature_which="clip+dift-161")
+    assert all(x.shape[0] > D_clip for x in Xc)
+    np.testing.assert_allclose(Xc[0][:D_clip], X[0], rtol=1e-5)  # clip half cached+stable
+
+
 def test_parallel_clustering_end_to_end(computed, tmp_path_factory):
     sd, typ, typ_path, ds = computed
     cache = str(tmp_path_factory.mktemp("pcache2"))
