@@ -352,6 +352,14 @@ class D:
         ctx = jnp.asarray(np.stack([self._ctx_pair(g[1]) for g in group]))
         vae_key = jax.random.fold_in(jax.random.PRNGKey(self.seed), 7)
         vae_keys = jnp.stack([jax.random.fold_in(vae_key, u) for u in uids])
+        if self.mesh is not None and images.shape[0] % self.mesh.shape["dp"] == 0:
+            # shard the VAE encode over dp too (the sweep dominates, but an
+            # unsharded 512px encode would still serialize on one chip)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data = NamedSharding(self.mesh, P("dp"))
+            images = jax.device_put(images, data)
+            vae_keys = jax.device_put(vae_keys, data)
         latents = self.sd.encode_vae_per_image(images, vae_keys)
         losses = self.engine.compute(latents, ctx, uids)  # [B,N,2,h,w,C]
         losses.block_until_ready()
