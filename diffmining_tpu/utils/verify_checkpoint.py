@@ -198,6 +198,47 @@ def main(argv=None) -> int:
             print(f"[torch_oracle] FAIL ({type(e).__name__}: {str(e).splitlines()[0][:120]})")
             ok = False
 
+        # text tower: transformers IS the reference implementation here (it is
+        # what the reference imports), so load the checkpoint's raw tensors
+        # into a real transformers CLIPTextModel and compare hidden states
+        try:
+            import torch
+            import transformers
+
+            tc = p["text_encoder"]["config"]
+            hf = transformers.CLIPTextModel(
+                transformers.CLIPTextConfig(
+                    vocab_size=tc.vocab_size, hidden_size=tc.hidden_size,
+                    intermediate_size=tc.intermediate_size,
+                    num_hidden_layers=tc.num_layers, num_attention_heads=tc.num_heads,
+                    max_position_embeddings=77, hidden_act=tc.hidden_act,
+                )
+            ).eval()
+            raw_t = load_safetensors_dir(join(args.pipeline_dir, "text_encoder"))
+            missing, _unexp = hf.load_state_dict(
+                {k: torch.from_numpy(np.asarray(v, np.float32)) for k, v in raw_t.items()},
+                strict=False,
+            )
+            missing = [m for m in missing if not m.endswith("position_ids")]
+            if missing:
+                print(f"[torch_oracle:text] FAIL ({len(missing)} keys missing, e.g. {missing[:3]})")
+                ok = False
+            else:
+                ids_np = np.random.RandomState(1).randint(0, tc.vocab_size, (2, 77))
+                with torch.no_grad():
+                    want_h = hf(torch.from_numpy(ids_np)).last_hidden_state.numpy()
+                got_h = np.asarray(
+                    clip.apply({"params": p["text_encoder"]["params"]}, jnp.asarray(ids_np, jnp.int32))
+                )
+                d = float(np.abs(got_h - want_h).max())
+                r = pearson(got_h, want_h)
+                good = d < args.probe_tol and r > 0.999
+                print(f"[torch_oracle:text] {'PASS' if good else 'FAIL'} max|Δ|={d:.2e} pearson={r:.6f}")
+                ok &= good
+        except Exception as e:
+            print(f"[torch_oracle:text] FAIL ({type(e).__name__}: {str(e).splitlines()[0][:120]})")
+            ok = False
+
     # 4. probes --------------------------------------------------------------
     if args.probes:
         from diffmining_tpu.diffusion.schedule import add_noise
