@@ -39,7 +39,7 @@ from PIL import Image
 from diffmining_tpu.ops.hog import hoglab_features, normalize_features
 from diffmining_tpu.ops.svm import train_svm
 from diffmining_tpu.typicality.templates import get_decade
-from diffmining_tpu.utils.figures import hcat, vcat
+from diffmining_tpu.utils.figures import add_border, hcat, vcat
 
 
 def iou(a, b) -> float:
@@ -472,6 +472,35 @@ class Doersch:
                     accuracy, _e, top_detections, _w = pickle.load(f)
                 data.append((accuracy, top_detections[:top_elem]))
         return sorted(data, key=lambda x: x[0], reverse=True)[:top_k]
+
+    def plot_detectors(self, c: str, max_rows: int = 32, max_elems: int = 30) -> Optional[Image.Image]:
+        """Debug strips in the style of the reference's per-round detector
+        plots (reference doersch.py:500-549 plot_init/plot_init_fold): one row
+        per trained detector, its top detections side by side — blue border
+        when the detection comes from a positive image, red otherwise. Reads
+        the detector pkls written by iterative_clustering; returns None until
+        those exist."""
+        det_dir = join(self.main_dir, self.which, c, "detectors", str(self.threshold))
+        if not os.path.isdir(det_dir):
+            return None
+        pos_set = set(self.positive_paths(c))
+        rows = []
+        for fname in sorted(os.listdir(det_dir))[:max_rows]:
+            with open(join(det_dir, fname), "rb") as f:
+                _acc, detections, _top, _w = pickle.load(f)
+            crops = []
+            for _score, bbox, path in detections[:max_elems]:
+                crop = Image.open(path).crop((bbox[0], bbox[1], bbox[0] + 64, bbox[1] + 64))
+                crops.append(add_border(crop, "blue" if path in pos_set else "red", border=2))
+            if crops:
+                rows.append(hcat(crops))
+        if not rows:
+            return None
+        img = vcat(rows, vertical_spacing=2)
+        out_dir = join(self.main_dir, self.which, c, "plots", str(self.threshold), "detectors")
+        os.makedirs(out_dir, exist_ok=True)
+        img.save(join(out_dir, "init.png"))
+        return img
 
     def get_top(self, c: str, top_k: int = 32, top_elem: int = 7) -> Image.Image:
         data = self.iterative_clustering(c=c, top_k=top_k, top_elem=top_elem)

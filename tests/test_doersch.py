@@ -196,3 +196,7 @@ def test_doersch_mini_end_to_end(mini_dataset, tmp_path):
     assert img.width > 0
     out = join(str(tmp_path / "run"), "ftt", "1930")
     assert any(f.startswith("top_") for f in os.listdir(out))
+    # debug detector strips (reference doersch.py:500-549 plot_init style)
+    plot = d.plot_detectors("1930")
+    assert plot is not None and plot.width > 0
+    assert os.path.isfile(join(out, "plots", "50", "detectors", "init.png"))
