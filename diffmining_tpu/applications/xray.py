@@ -169,37 +169,63 @@ class XRayTypicality:
         names = ["no finding", ""] + self.diseases
         self.embeds = {c: cf[i] for i, c in enumerate(names)}
 
-    def pixel_map(self, disease: str, path: str) -> np.ndarray:
-        img = Image.open(path).convert("RGB")
-        arr = image_to_array(img)
-        uid = image_uid(path)
-        lat = self.sd.encode_vae_per_image(
-            jnp.asarray(arr)[None],
-            jnp.stack([jax.random.fold_in(jax.random.PRNGKey(self.seed), uid)]),
+    def pixel_maps(self, disease: str, paths: Sequence[str]) -> List[np.ndarray]:
+        """Pixel maps for a group of SAME-SHAPE images through ONE batched
+        sweep (the reference loops one image at a time, xray/compute.py:
+        296-311 — batching is the TPU redesign, same as the typicality D).
+        Per-image fold_in RNG keeps every map independent of its batch
+        position (grouping-independence, like D._compute_group)."""
+        imgs = [Image.open(p).convert("RGB") for p in paths]
+        uids = [image_uid(p) for p in paths]
+        arrs = jnp.asarray(np.stack([image_to_array(im) for im in imgs]))
+        keys = jnp.stack(
+            [jax.random.fold_in(jax.random.PRNGKey(self.seed), u) for u in uids]
         )
-        ctx = jnp.asarray(np.stack([self.embeds[disease], self.embeds[""]]))[None]
-        losses = self.engine.compute(lat, ctx, [uid])[0]  # [N, 2, h, w, C]
-        grid = losses_to_reference_layout(losses)  # [N, 2, C, h, w]
-        w, h = img.size
-        dm = np.asarray(pixel_typicality_map(jnp.asarray(grid), h, w))
-        if self.blur:
-            dm = gaussian_blur(dm)
-        return dm
+        lat = self.sd.encode_vae_per_image(arrs, keys)
+        ctx = jnp.asarray(np.stack([self.embeds[disease], self.embeds[""]]))
+        losses = self.engine.compute(lat, ctx, uids)  # [B, N, 2, h, w, C]
+        out = []
+        for b, im in enumerate(imgs):
+            grid = losses_to_reference_layout(np.asarray(losses[b]))  # [N, 2, C, h, w]
+            w, h = im.size
+            dm = np.asarray(pixel_typicality_map(jnp.asarray(grid), h, w))
+            if self.blur:
+                dm = gaussian_blur(dm)
+            out.append(dm)
+        return out
 
-    def main(self) -> Tuple[Dict, Dict]:
+    def pixel_map(self, disease: str, path: str) -> np.ndarray:
+        return self.pixel_maps(disease, [path])[0]
+
+    def main(self, batch_images: int = 4) -> Tuple[Dict, Dict]:
         report, auc = {}, {}
         for disease in self.diseases:
             report[disease], auc[disease] = {}, {}
             typ_dir = join(self.output_path, disease, "typicality")
             os.makedirs(typ_dir, exist_ok=True)
-            for fpath, bbox in self.parent[disease]:
+
+            def cache_path(fpath):
                 name = os.path.splitext(os.path.split(fpath)[-1])[0]
-                cache = join(typ_dir, f"{name}_loss_pixel.npy")
-                if os.path.isfile(cache):
-                    dm = np.load(cache)
-                else:
-                    dm = self.pixel_map(disease, fpath)
-                    np.save(cache, dm)
+                return join(typ_dir, f"{name}_loss_pixel.npy")
+
+            # batch the uncached images per shape bucket through one sweep
+            pending: Dict[Tuple[int, int], List[str]] = defaultdict(list)
+            for fpath, _bbox in self.parent[disease]:
+                if not os.path.isfile(cache_path(fpath)):
+                    with Image.open(fpath) as im:
+                        pending[im.size].append(fpath)
+            for group in pending.values():
+                for start in range(0, len(group), batch_images):
+                    chunk = group[start : start + batch_images]
+                    # pad partial chunks (repeat last path): one compiled
+                    # graph per shape AND batch-grouping-independent maps,
+                    # same policy as D._compute_group
+                    padded = chunk + [chunk[-1]] * (batch_images - len(chunk))
+                    for fpath, dm in zip(chunk, self.pixel_maps(disease, padded)):
+                        np.save(cache_path(fpath), dm)
+
+            for fpath, bbox in self.parent[disease]:
+                dm = np.load(cache_path(fpath))
                 key = os.path.split(fpath)[-1]
                 report[disease][key] = mean_typicality(bbox, dm)
                 auc[disease][key] = aucpr(bbox, dm)
