@@ -176,6 +176,63 @@ def test_train_step_dp_psum(mesh):
     assert int(state.step) == 1
 
 
+def test_train_step_mesh_with_ema_and_lora(mesh):
+    """EMA and LoRA branches under the explicit-mesh jit path — the dryrun
+    and dp test run the plain branch only."""
+    from diffmining_tpu.finetuning.train import TrainStepBuilder, make_lr_schedule, make_optimizer
+
+    sd = SD.init_tiny("ftt", ["1930"])
+    m = make_mesh(dp=4, fsdp=1)
+    for lora_rank in (None, 2):
+        builder = TrainStepBuilder(
+            unet=sd.unet, vae=sd.vae, clip=sd.clip, schedule=sd.schedule,
+            optimizer=make_optimizer(make_lr_schedule("constant", 1e-3, 0)),
+            vae_params=sd.vae_params, clip_params=sd.clip_params,
+            use_ema=True, mesh=m, lora_rank=lora_rank,
+        )
+        state = builder.init_state(sd.unet_params)
+        step = builder.build()
+        state, loss = step(
+            state, jnp.zeros((4, 32, 32, 3)), jnp.zeros((4, 77), jnp.int32),
+            jax.random.PRNGKey(0),
+        )
+        assert np.isfinite(float(loss)) and int(state.step) == 1
+        assert state.ema_params is not None
+
+
+def test_sharded_state_checkpoint_roundtrip(mesh, tmp_path):
+    """Orbax save/restore of an fsdp-sharded train state: the pod
+    checkpoint/resume path (SURVEY §5.4) must preserve shardings + values."""
+    import orbax.checkpoint as ocp
+
+    from diffmining_tpu.finetuning.train import TrainStepBuilder, make_lr_schedule, make_optimizer
+    from diffmining_tpu.parallel.mesh import shard_params
+
+    sd = SD.init_tiny("ftt", ["1930"])
+    m = make_mesh(dp=4, fsdp=2)
+    builder = TrainStepBuilder(
+        unet=sd.unet, vae=sd.vae, clip=sd.clip, schedule=sd.schedule,
+        optimizer=make_optimizer(make_lr_schedule("constant", 1e-3, 0)),
+        vae_params=sd.vae_params, clip_params=sd.clip_params, use_ema=False, mesh=m,
+    )
+    state = builder.init_state(shard_params(m, sd.unet_params))
+    step = builder.build()
+    state, _ = step(
+        state, jnp.zeros((4, 32, 32, 3)), jnp.zeros((4, 77), jnp.int32),
+        jax.random.PRNGKey(0),
+    )
+    path = str(tmp_path / "ckpt")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state)
+        restored = ckptr.restore(path, state)
+    assert int(restored.step) == 1
+    want = jax.tree_util.tree_leaves(state.params)
+    got = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(want, got):
+        assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_shard_params_places_tree(mesh):
     params = {"a": jnp.zeros((8, 16)), "b": jnp.zeros((3,))}
     placed = shard_params(mesh, params)
