@@ -324,6 +324,7 @@ def main(argv=None):
     p.add_argument("-o", "--output_path", default="results/ct")
     p.add_argument("-m", "--model_path", default="models/CXR8")
     p.add_argument("--N", type=int, default=100)
+    p.add_argument("--batch_images", type=int, default=4)
     p.add_argument("--blur", action="store_true")
     p.add_argument("--compare", nargs=2, default=None, metavar=("PT", "FT"))
     args = p.parse_args(argv)
@@ -338,7 +339,9 @@ def main(argv=None):
 
         model_path = export_model("xray", model_path)
     sd = SD.from_pipeline_dir("xray", model_path, [])
-    XRayTypicality(sd, args.gt_path, args.output_path, DISEASES, N=args.N, blur=args.blur).main()
+    XRayTypicality(sd, args.gt_path, args.output_path, DISEASES, N=args.N, blur=args.blur).main(
+        batch_images=args.batch_images
+    )
 
 
 if __name__ == "__main__":
