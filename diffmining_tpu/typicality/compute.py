@@ -300,11 +300,13 @@ class D:
     def compute(self, country: str, path: str) -> None:
         self.compute_batch([(path, country)])
 
-    def compute_batch(self, items: Sequence[Tuple[str, str]]) -> None:
+    def compute_batch(self, items: Sequence[Tuple[str, str]], progress=None) -> None:
         """Compute + save typicality grids for (path, category) items, batching
         same-shape images through one jitted sweep. Image decode runs in a
         producer thread so the host overlaps PIL work with device compute
-        (the reference's joblib workers only parallelized the mining stage)."""
+        (the reference's joblib workers only parallelized the mining stage).
+        `progress(n_done)` is called after each group (the CLI reports
+        imgs/hr, standing in for the reference's tqdm bars)."""
         import queue
         import threading
 
@@ -331,10 +333,14 @@ class D:
             group.append((path, country, arr))
             if len(group) >= self.batch_images:
                 self._compute_group(group)
+                if progress is not None:
+                    progress(len(group))
                 group.clear()
         for group in by_shape.values():
             if group:
                 self._compute_group(group)
+                if progress is not None:
+                    progress(len(group))
 
     def _compute_group(self, group: Sequence[Tuple[str, str, np.ndarray]]) -> None:
         n_real = len(group)
@@ -497,17 +503,36 @@ class Typicality:
     # --- work queue (reference compute.py:284-341) ---
 
     def compute_submission(self, path: str) -> None:
-        """Execute one shard file; batches per category for the TPU sweep."""
+        """Execute one shard file; batches per category for the TPU sweep.
+        Prints running progress + throughput (the reference showed tqdm bars;
+        a multi-hour silent sweep is not operable)."""
+        import time
+
         with open(path, "r") as f:
             lines = [l.strip() for l in f.readlines() if l.strip()]
         by_cat: Dict[str, List[Tuple[str, str]]] = defaultdict(list)
         for line in lines:
             p, country = line.split(",")
             by_cat[country].append((p, country))
-        for country, items in by_cat.items():
-            pending = [it for it in items if not self.D[country].exists(it[0])]
+        todo = {
+            c: [it for it in items if not self.D[c].exists(it[0])]
+            for c, items in by_cat.items()
+        }
+        total = sum(len(v) for v in todo.values())
+        state = {"done": 0, "t0": time.perf_counter()}
+
+        def progress(n):
+            state["done"] += n
+            dt = time.perf_counter() - state["t0"]
+            rate = state["done"] / dt * 3600.0 if dt > 0 else 0.0
+            print(
+                f"typicality: {state['done']}/{total} images "
+                f"({rate:,.0f} imgs/hr)", flush=True,
+            )
+
+        for country, pending in todo.items():
             if pending:
-                self.D[country].compute_batch(pending)
+                self.D[country].compute_batch(pending, progress=progress)
 
     def make_submission(self, target_path: str, submission_path: str, seed: int = 42, sub_split: int = 32) -> None:
         """Greedy least-done-category balancing, round-robin into shard files
