@@ -50,10 +50,12 @@ def iou(a, b) -> float:
     return inter / max(union, 1)
 
 
-def filter_by_contrast(patch: Image.Image, threshold: int = 50) -> bool:
-    """reference utils.filter_by_contrast: skimage is_low_contrast with
-    fraction_threshold=0.15 on the 1-99 percentile range (threshold arg kept
-    for CLI parity; the reference ignores it too)."""
+def patch_has_contrast(patch: Image.Image, threshold: int = 50) -> bool:
+    """Doersch init-patch contrast gate (reference doersch.py:254's
+    is_low_contrast(...,0.15) on the L-grayscale crop; threshold arg kept for
+    CLI parity — the reference ignores it too). Distinct from
+    typicality/cluster.py's `filter_by_contrast`, which implements the
+    reference get_top_k filter's skimage-luminance/0.05 semantics."""
     arr = np.asarray(patch.convert("L"), dtype=np.float64) / 255.0
     lo, hi = np.percentile(arr, [1, 99])
     return (hi - lo) > 0.15
@@ -349,7 +351,7 @@ class Doersch:
                         continue
                     per_img[path].add((x, y))
                     bbox = (x * 8, y * 8, x * 8 + 64, y * 8 + 64)
-                    if filter_by_contrast(img.crop(bbox), self.threshold):
+                    if patch_has_contrast(img.crop(bbox), self.threshold):
                         patches.append((bbox, path))
                         break
         return patches
@@ -485,7 +487,15 @@ class Doersch:
             return None
         pos_set = set(self.positive_paths(c))
         rows = []
-        for fname in sorted(os.listdir(det_dir))[:max_rows]:
+
+        def det_key(fname: str):
+            # "{round}_{rank}.pkl" — sort numerically so 5_2 precedes 5_10
+            # (lexicographic order would interleave the rank order)
+            stem = os.path.splitext(fname)[0]
+            parts = stem.split("_")
+            return [(0, int(p), "") if p.isdigit() else (1, 0, p) for p in parts]
+
+        for fname in sorted(os.listdir(det_dir), key=det_key)[:max_rows]:
             with open(join(det_dir, fname), "rb") as f:
                 _acc, detections, _top, _w = pickle.load(f)
             crops = []

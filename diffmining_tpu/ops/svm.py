@@ -88,6 +88,14 @@ def fit_svm_smo(
     K = X @ X.T
     alpha = np.zeros(n)
     b = 0.0
+    if n < 2:
+        # SMO updates pairs; with one point the dual optimum is the single
+        # box-constrained coordinate: alpha = C if the (margin-violating)
+        # point is inside the margin of the zero solution, giving w = C·y·x
+        if n == 1 and K[0, 0] > 0:
+            alpha[0] = min(C, 1.0 / K[0, 0])
+        w = (alpha * y) @ X
+        return w, float(y[0]) * max(0.0, 1.0 - alpha[0] * K[0, 0]) if n else 0.0, alpha
     rng = np.random.RandomState(seed)
     passes = 0
     while passes < max_passes:

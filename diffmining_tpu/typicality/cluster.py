@@ -17,6 +17,7 @@ interchangeable; the compute is redesigned:
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import pickle
 import random
@@ -234,9 +235,12 @@ class Cluster(Typicality):
         if filter_by:
             assert all(f in PATCH_FILTERS for f, _ in filter_by), filter_by
             keep = []
+            # patch tables hold k_per_image rows per image; memoize the decode
+            # + rescale so each source image is opened once, not once per row
+            load_image = functools.lru_cache(maxsize=4)(self.load_image)
             for i in range(len(df)):
                 row = df.iloc[i]
-                pil = self.load_image(row["seed"]).crop((
+                pil = load_image(row["seed"]).crop((
                     int(row["y_start"]), int(row["x_start"]),
                     int(row["y_end"]), int(row["x_end"]),
                 ))
@@ -300,6 +304,11 @@ class Cluster(Typicality):
         (reference cluster.py:247-253's tag grammar)."""
         use_dift = "dift" in feature_which
         use_clip = "clip" in feature_which
+        if not (use_dift or use_clip):
+            raise ValueError(
+                f"unrecognized feature_which {feature_which!r}: expected "
+                "'dift-{t}', 'clip', or 'clip+dift-{t}'"
+            )
         t = None
         if use_clip and use_dift:
             t = int(feature_which.split("+")[1].split("-")[1])

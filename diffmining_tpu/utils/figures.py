@@ -31,7 +31,8 @@ def hcat_rgba_border(pils, border: int = 1) -> Image.Image:
 
 
 def vcat(pils: Sequence[Image.Image], vertical_spacing: int = 0) -> Image.Image:
-    width = pils[0].width
+    # max, not pils[0].width: rows wider than the first must not be clipped
+    width = max(p.width for p in pils)
     total = sum(p.height for p in pils) + vertical_spacing * (len(pils) - 1)
     out = Image.new(pils[0].mode, (width, total))
     y = 0

@@ -194,13 +194,13 @@ class Upsample2D(nn.Module):
 class _DownBlock(nn.Module):
     """CrossAttnDownBlock2D / DownBlock2D."""
 
-    def __init__(self, in_ch, out_ch, temb_ch, layers, has_attn, heads, cross_dim, groups, add_downsample):
+    def __init__(self, in_ch, out_ch, temb_ch, layers, has_attn, heads, cross_dim, groups, add_downsample, depth=1):
         super().__init__()
         self.resnets = nn.ModuleList(
             [ResnetBlock2D(in_ch if j == 0 else out_ch, out_ch, temb_ch, groups, 1e-5) for j in range(layers)]
         )
         self.attentions = (
-            nn.ModuleList([Transformer2DModel(out_ch, heads, cross_dim, 1, groups) for _ in range(layers)])
+            nn.ModuleList([Transformer2DModel(out_ch, heads, cross_dim, depth, groups) for _ in range(layers)])
             if has_attn
             else None
         )
@@ -220,12 +220,12 @@ class _DownBlock(nn.Module):
 
 
 class _MidBlock(nn.Module):
-    def __init__(self, ch, temb_ch, heads, cross_dim, groups):
+    def __init__(self, ch, temb_ch, heads, cross_dim, groups, depth=1):
         super().__init__()
         self.resnets = nn.ModuleList(
             [ResnetBlock2D(ch, ch, temb_ch, groups, 1e-5), ResnetBlock2D(ch, ch, temb_ch, groups, 1e-5)]
         )
-        self.attentions = nn.ModuleList([Transformer2DModel(ch, heads, cross_dim, 1, groups)])
+        self.attentions = nn.ModuleList([Transformer2DModel(ch, heads, cross_dim, depth, groups)])
 
     def forward(self, x, temb, context):
         x = self.resnets[0](x, temb)
@@ -237,7 +237,7 @@ class _UpBlock(nn.Module):
     """CrossAttnUpBlock2D / UpBlock2D. Skip channels follow diffusers:
     resnet j consumes skip j counted from the END of the down stack."""
 
-    def __init__(self, in_ch, prev_ch, out_ch, temb_ch, layers, has_attn, heads, cross_dim, groups, add_upsample):
+    def __init__(self, in_ch, prev_ch, out_ch, temb_ch, layers, has_attn, heads, cross_dim, groups, add_upsample, depth=1):
         super().__init__()
         resnets = []
         for j in range(layers):
@@ -246,7 +246,7 @@ class _UpBlock(nn.Module):
             resnets.append(ResnetBlock2D(res_in + skip_ch, out_ch, temb_ch, groups, 1e-5))
         self.resnets = nn.ModuleList(resnets)
         self.attentions = (
-            nn.ModuleList([Transformer2DModel(out_ch, heads, cross_dim, 1, groups) for _ in range(layers)])
+            nn.ModuleList([Transformer2DModel(out_ch, heads, cross_dim, depth, groups) for _ in range(layers)])
             if has_attn
             else None
         )
@@ -277,11 +277,16 @@ class UNet2DConditionRef(nn.Module):
         num_attention_heads: int = 4,
         down_block_has_attn: Sequence[bool] = (True, True, False),
         norm_num_groups: int = 8,
+        transformer_layers: int = 1,
+        flip_sin_to_cos: bool = True,
+        freq_shift: int = 0,
     ):
         super().__init__()
         bo = tuple(block_out_channels)
         temb_ch = bo[0] * 4
         self.bo = bo
+        self.flip_sin_to_cos = flip_sin_to_cos
+        self.freq_shift = freq_shift
         self.time_embedding = TimestepEmbedding(bo[0], temb_ch)
         self.conv_in = nn.Conv2d(in_channels, bo[0], 3, padding=1)
 
@@ -292,12 +297,15 @@ class UNet2DConditionRef(nn.Module):
                 _DownBlock(
                     ch, out_ch, temb_ch, layers_per_block, down_block_has_attn[i],
                     num_attention_heads, cross_attention_dim, norm_num_groups,
-                    add_downsample=i < len(bo) - 1,
+                    add_downsample=i < len(bo) - 1, depth=transformer_layers,
                 )
             )
             ch = out_ch
 
-        self.mid_block = _MidBlock(bo[-1], temb_ch, num_attention_heads, cross_attention_dim, norm_num_groups)
+        self.mid_block = _MidBlock(
+            bo[-1], temb_ch, num_attention_heads, cross_attention_dim, norm_num_groups,
+            depth=transformer_layers,
+        )
 
         # diffusers up-block channel plumbing (unet_2d_condition.py):
         #   reversed = bo[::-1]; prev = reversed[0]
@@ -312,7 +320,7 @@ class UNet2DConditionRef(nn.Module):
                 _UpBlock(
                     in_ch, prev, out_ch, temb_ch, layers_per_block + 1, up_attn[i],
                     num_attention_heads, cross_attention_dim, norm_num_groups,
-                    add_upsample=i < len(bo) - 1,
+                    add_upsample=i < len(bo) - 1, depth=transformer_layers,
                 )
             )
             prev = out_ch
@@ -324,7 +332,9 @@ class UNet2DConditionRef(nn.Module):
         up_factor = 2 ** (len(self.bo) - 1)
         forward_upsample_size = any(s % up_factor != 0 for s in sample.shape[-2:])
 
-        t_emb = timestep_embedding(timesteps.expand(sample.shape[0]), self.bo[0])
+        t_emb = timestep_embedding(
+            timesteps.expand(sample.shape[0]), self.bo[0], self.flip_sin_to_cos, self.freq_shift
+        )
         temb = self.time_embedding(t_emb)
         x = self.conv_in(sample)
 

@@ -12,7 +12,7 @@ from diffmining_tpu.baselines.doersch import (
     Doersch,
     FeatureStore,
     dense_search,
-    filter_by_contrast,
+    patch_has_contrast,
     iou,
     random_sample,
 )
@@ -150,12 +150,12 @@ def test_iou():
     assert 0.0 < iou((0, 0, 10, 10), (5, 5, 15, 15)) < 0.2
 
 
-def test_filter_by_contrast():
+def test_patch_has_contrast():
     flat = Image.fromarray(np.full((64, 64, 3), 128, np.uint8))
-    assert not filter_by_contrast(flat)
+    assert not patch_has_contrast(flat)
     rng = np.random.RandomState(0)
     noisy = Image.fromarray(rng.randint(0, 255, (64, 64, 3), dtype=np.uint8))
-    assert filter_by_contrast(noisy)
+    assert patch_has_contrast(noisy)
 
 
 @pytest.fixture(scope="module")
