@@ -110,6 +110,19 @@ def test_svm_optimality_gap_vs_exact_smo():
     assert agree >= 0.98
 
 
+def test_svm_smo_degenerate_sizes():
+    """n<2 must not crash the pairwise SMO loop: n=1 has a closed-form
+    box-constrained optimum (point on or inside the margin), n=0 is zeros."""
+    from diffmining_tpu.ops.svm import fit_svm_smo
+
+    w, b, alpha = fit_svm_smo(np.asarray([[2.0, 0.0]]), np.asarray([1.0]), C=0.1)
+    # alpha = min(C, 1/K) = min(0.1, 0.25) = 0.1; the point sits ON the margin
+    assert np.isclose(alpha[0], 0.1)
+    assert np.isclose(float(np.asarray([2.0, 0.0]) @ w + b), 1.0)
+    w0, b0, a0 = fit_svm_smo(np.zeros((0, 3)), np.zeros((0,)))
+    assert w0.shape == (3,) and b0 == 0.0 and a0.size == 0
+
+
 def test_svm_sklearn_parity():
     """Activates the day sklearn exists in-image: our solver vs SVC(C=0.1,
     kernel='linear') (reference doersch.py:71)."""

@@ -164,3 +164,18 @@ def test_upsample_bilinear_matches_torch_semantics():
         torch.from_numpy(x), (15, 21), mode="bilinear", align_corners=False
     ).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_vcat_hcat_sizes():
+    """vcat must size to the WIDEST row (a first-row-width canvas clipped any
+    wider later row, e.g. Doersch detector strips with more detections)."""
+    from PIL import Image
+
+    from diffmining_tpu.utils.figures import hcat, vcat
+
+    rows = [
+        hcat([Image.new("RGB", (10, 10)) for _ in range(2)]),
+        hcat([Image.new("RGB", (10, 10)) for _ in range(5)]),
+    ]
+    out = vcat(rows, vertical_spacing=2)
+    assert out.size == (50, 22)
