@@ -141,3 +141,28 @@ def filter_patch(arr: np.ndarray, black_threshold: float = 30, white_threshold: 
         gray = arr
     m = float(np.mean(gray))
     return black_threshold < m < white_threshold
+
+
+def gauss_kernel_1d(sigma: float, ksize: int) -> np.ndarray:
+    r = ksize // 2
+    xs = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(xs**2) / (2 * sigma**2))
+    return k / k.sum()
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "ksize"))
+def gaussian_blur(dm: jax.Array, sigma: float = 32.0, ksize: int = 127) -> jax.Array:
+    """Separable 2-D Gaussian blur of an [H, W] map as two device-side 1-D
+    convolutions in one jit, reflect padding (torchvision GaussianBlur /
+    scipy gaussian_filter(mode='reflect') semantics). Used by the X-ray
+    spatialization option (reference xray/compute.py:165,207) and the
+    typicality-as-alpha overlays (reference utils.py:204); pinned against a
+    host numpy implementation in test_xray.py."""
+    r = ksize // 2
+    k = jnp.asarray(gauss_kernel_1d(sigma, ksize), jnp.float32)
+    x = jnp.pad(dm.astype(jnp.float32), ((r, r), (r, r)), mode="reflect")
+    x = x[None, :, :, None]  # NHWC
+    dn = ("NHWC", "HWIO", "NHWC")
+    x = jax.lax.conv_general_dilated(x, k.reshape(1, ksize, 1, 1), (1, 1), "VALID", dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, k.reshape(ksize, 1, 1, 1), (1, 1), "VALID", dimension_numbers=dn)
+    return x[0, :, :, 0]

@@ -169,6 +169,29 @@ class Cluster(Typicality):
         grid = d(path)
         return normalize(np.asarray(pixel_typicality_map(grid, h, w)))
 
+    def typicality_overlay(self, d: D, path: str, sigma: float = 10.0) -> Image.Image:
+        """Typicality-as-alpha composite of the whole image: the normalized
+        per-pixel map, sigma-blurred, gates the image toward white where the
+        model finds nothing typical — R = 0.05·I + 0.95·(T·I + (1−T)).
+
+        This is the reference's `apply_alpha` figure recipe (utils.py:165-214
+        / cluster.py:93-109 load_and_apply_alpha_bbox), reimplemented without
+        its hardcoded author-local artifact paths (utils.py:137-163), which
+        made the original uninvokable outside the author's machine. The blur
+        radius follows scipy gaussian_filter's truncate=4 default."""
+        from diffmining_tpu.ops.pool import gaussian_blur
+
+        pil = self.load_image(path)
+        I = np.asarray(pil, np.float64) / 255.0
+        T = self.load_typicality_norm(d, path)  # [0, 1]
+        ksize = 2 * int(4.0 * sigma + 0.5) + 1
+        T = np.asarray(gaussian_blur(T, float(sigma), ksize), np.float64)
+        T = T / max(float(T.max()), 1e-12)
+        T = T * (T > 0)
+        T = T[:, :, None]
+        R = 0.05 * I + 0.95 * (T * I + (1.0 - T))
+        return Image.fromarray((R * 255.0).astype(np.uint8))
+
     # ------------------------------------------------------------------
     # patch tables
     # ------------------------------------------------------------------
@@ -430,9 +453,12 @@ class Cluster(Typicality):
                 out[country] = dfs[0]
         return out
 
-    def plot_top_k(self, k_per_image: int = 5, k: int = 200) -> None:
+    def plot_top_k(self, k_per_image: int = 5, k: int = 200, overlays: bool = False) -> None:
         """Save the top-k patch crops per category for D / random / D_least
-        (reference cluster.py:398-434)."""
+        (reference cluster.py:398-434). With `overlays`, each D crop is also
+        saved typicality-as-alpha composited (`alpha-{i}.png`, the filename
+        prefix the reference's commented-out alpha path used,
+        cluster.py:376-379)."""
         tables = self.patch_tables(k_per_image=k_per_image)
         dfs = {c: self.get_top_k(t[0], k=k) for c, t in tables.items()}
         dfs_random = {c: self.get_top_k(t[1], k=k, randomize=True) for c, t in tables.items()}
@@ -443,11 +469,23 @@ class Cluster(Typicality):
             for c, df in dfs_.items():
                 outdir = join(self.cache_path, "images", "topk", name, c)
                 os.makedirs(outdir, exist_ok=True)
+                # overlay composites are per source image; memoize across the
+                # k_per_image rows that share one image
+                overlay_fn = (
+                    functools.lru_cache(maxsize=4)(
+                        lambda seed, _c=c: self.typicality_overlay(self.D[_c], seed)
+                    )
+                    if overlays and name == "D"
+                    else None
+                )
                 for i in range(df.shape[0]):
                     row = df.iloc[i]
                     x0, y0, x1, y1 = (int(row[cc]) for cc in ["x_start", "y_start", "x_end", "y_end"])
                     pil = self.load_image(row["seed"]).crop((y0, x0, y1, x1))
                     pil.convert("RGBA").save(join(outdir, f"{i}.png"))
+                    if overlay_fn is not None:
+                        alpha = overlay_fn(row["seed"]).crop((y0, x0, y1, x1))
+                        alpha.convert("RGBA").save(join(outdir, f"alpha-{i}.png"))
 
     # ------------------------------------------------------------------
     # whole-image ranking + figures
@@ -543,6 +581,11 @@ def main(argv=None):
     parser.add_argument("--recache", action="store_true")
     parser.add_argument("--cluster", action="store_true")
     parser.add_argument("--topk", action="store_true")
+    parser.add_argument(
+        "--overlays", action="store_true",
+        help="with --topk, also save typicality-as-alpha composites of the "
+        "top-D crops (the reference's apply_alpha figures)",
+    )
     parser.add_argument("--umap", action="store_true")
     parser.add_argument(
         "--feature_which", type=str, default="dift-161",
@@ -573,7 +616,10 @@ def main(argv=None):
         cache_features=args.cache_features, clip_dir=args.clip_dir,
     )
     if args.topk:
-        cluster.plot_top_k(k_per_image=5, k=(50 if args.num_images is None else args.num_images))
+        cluster.plot_top_k(
+            k_per_image=5, k=(50 if args.num_images is None else args.num_images),
+            overlays=args.overlays,
+        )
     if args.cluster:
         cluster.clustering(
             feature_which=args.feature_which, k=(1000 if args.num_images is None else args.num_images),

@@ -191,3 +191,43 @@ def test_extract_top_k_images(setup, tmp_path_factory):
     cl.extract_top_k_images(out, k=2)
     files = os.listdir(join(out, "ordered"))
     assert len(files) == len(DECADES) * 3  # D_least, D, random per category
+
+
+def test_typicality_overlay(setup):
+    """Typicality-as-alpha composite (reference utils.py:165-214's recipe,
+    reimplemented without its author-local artifact paths): formula pinned
+    against a direct numpy computation of R = 0.05·I + 0.95·(T·I + (1−T))."""
+    cl, root, cache = setup
+    d = cl.D[DECADES[0]]
+    path = cl.get_seeds(d, DECADES[0])[0]
+    sigma = 2.0
+    out = cl.typicality_overlay(d, path, sigma=sigma)
+    pil = cl.load_image(path)
+    assert out.size == pil.size
+
+    from diffmining_tpu.ops.pool import gaussian_blur
+
+    I = np.asarray(pil, np.float64) / 255.0
+    T = cl.load_typicality_norm(d, path)
+    ksize = 2 * int(4.0 * sigma + 0.5) + 1
+    T = np.asarray(gaussian_blur(T, sigma, ksize), np.float64)
+    T = T / max(float(T.max()), 1e-12)
+    T = (T * (T > 0))[:, :, None]
+    want = ((0.05 * I + 0.95 * (T * I + (1.0 - T))) * 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(out), want)
+    # where typicality is lowest the composite washes toward white
+    assert np.asarray(out).mean() >= np.asarray(pil).mean() * 0.9
+
+
+def test_plot_top_k_overlays(setup):
+    cl, root, cache = setup
+    cl.plot_top_k(k_per_image=2, k=4, overlays=True)
+    for dec in DECADES:
+        outdir = join(cache, "images", "topk", "D", dec)
+        files = os.listdir(outdir)
+        plain = [f for f in files if not f.startswith("alpha-")]
+        alpha = [f for f in files if f.startswith("alpha-")]
+        assert len(alpha) == len(plain) == 4
+        a = Image.open(join(outdir, "alpha-0.png"))
+        p = Image.open(join(outdir, "0.png"))
+        assert a.size == p.size
