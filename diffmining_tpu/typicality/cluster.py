@@ -121,10 +121,14 @@ class Cluster(Typicality):
         dift_sd: Optional[SD] = None,
         clip_dir: Optional[str] = None,
         clip_bundle: Optional[dict] = None,
+        native_res: bool = False,
     ):
         # model-free init: score maps only need the artifacts (reference
         # cluster.py:58 passes model_path=None to Typicality)
-        super().__init__(which=which, model_path=None, dataset_path=dataset_path, typicality_path=typicality_path, sd=sd)
+        super().__init__(
+            which=which, model_path=None, dataset_path=dataset_path,
+            typicality_path=typicality_path, sd=sd, native_res=native_res,
+        )
         self.cache_path = cache_path
         self.recache = recache
         self.kx = kx
@@ -155,7 +159,9 @@ class Cluster(Typicality):
 
     def load_image(self, path: str, pil: bool = True):
         img = Image.open(path).convert("RGB")
-        img = rescale_for_domain(img, self.which)
+        # must mirror the sweep's geometry (compute.D) or patch boxes and
+        # upsampled maps would disagree with the stored artifacts
+        img = rescale_for_domain(img, self.which, native=self.native_res)
         return img if pil else np.asarray(img) / 255.0
 
     def load_typicality(self, d: D, path: str) -> np.ndarray:
@@ -608,12 +614,18 @@ def main(argv=None):
     parser.add_argument("--min_row", type=int, default=5)
     parser.add_argument("--grid_sep_x", type=int, default=2)
     parser.add_argument("--grid_sep_y", type=int, default=4)
+    parser.add_argument(
+        "--native_res", action="store_true",
+        help="mine artifacts swept with `typicality --native_res` (skips the "
+        "cars/places domain downscale so boxes match the stored grids)",
+    )
     args = parser.parse_args(argv)
 
     cluster = Cluster(
         args.which, args.typicality_path, args.dataset_path, args.cache_path, args.recache,
         model_path=args.model_path, aggregate=args.aggregate, kx=args.k, ky=args.k,
         cache_features=args.cache_features, clip_dir=args.clip_dir,
+        native_res=args.native_res,
     )
     if args.topk:
         cluster.plot_top_k(

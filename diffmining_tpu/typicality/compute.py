@@ -240,6 +240,7 @@ class D:
         batch_images: int = 8,
         bucket_size: Optional[int] = None,
         mesh=None,
+        native_res: bool = False,
     ):
         self.sd = sd
         self.typicality_path = typicality_path
@@ -252,6 +253,10 @@ class D:
         self.batch_images = batch_images
         self.bucket_size = bucket_size
         self.mesh = mesh
+        # skip the cars/places domain downscale and sweep at the dataset's
+        # original resolution (a GPU-memory constant in the reference,
+        # compute.py:165-180; the flash kernel handles the long sequences)
+        self.native_res = native_res
         self._engine: Optional[TypicalityEngine] = None
 
     @property
@@ -316,7 +321,7 @@ class D:
         def producer():
             for path, country in items:
                 try:
-                    arr, _ = load_image(path, self.which, self.bucket_size)
+                    arr, _ = load_image(path, self.which, self.bucket_size, native=self.native_res)
                     q.put((path, country, arr))
                 except Exception as ex:  # skip unreadable images, keep the sweep alive
                     print(f"error {ex} @path={path}")
@@ -400,8 +405,10 @@ class Typicality:
         batch_images: int = 8,
         bucket_size: Optional[int] = None,
         mesh=None,
+        native_res: bool = False,
     ):
         self.which = which
+        self.native_res = native_res
         load = {
             "geo": self.load_paths_geo,
             "ftt": self.load_paths_ftt,
@@ -416,6 +423,7 @@ class Typicality:
             c: D(
                 self.sd, join(typicality_path, c), which=which, t_min=t_min, t_max=t_max,
                 N=N, batch_images=batch_images, bucket_size=bucket_size, mesh=mesh,
+                native_res=native_res,
             )
             for c in self.categories()
         }
@@ -590,6 +598,12 @@ def main(argv=None):
     parser.add_argument("--batch_images", type=int, default=8)
     parser.add_argument("--bucket_size", type=int, default=None)
     parser.add_argument(
+        "--native_res", action="store_true",
+        help="sweep at the dataset's original resolution instead of the "
+        "reference's cars-256/places-512 downscale (long sequences ride the "
+        "flash-attention kernel; pair --bucket_size to bound compile shapes)",
+    )
+    parser.add_argument(
         "--mesh_dp", type=int, default=None,
         help="shard the sweep batch over a dp-axis device mesh of this size "
         "(multi-chip; complements --sub_split host-level sharding)",
@@ -618,6 +632,7 @@ def main(argv=None):
         args.which, model_path, args.dataset_path, args.typicality_path,
         t_min=args.t_min, t_max=args.t_max, N=args.N,
         batch_images=args.batch_images, bucket_size=args.bucket_size, mesh=mesh,
+        native_res=args.native_res,
     )
     if args.make_submission:
         typ.make_submission(args.target_path, args.submission_path, sub_split=args.sub_split)

@@ -27,11 +27,19 @@ def rescale_short_side(img: Image.Image, short: int, ceil_mode: bool = False) ->
     return img.resize((short, rnd(h * (short / w))), Image.LANCZOS)
 
 
-def rescale_for_domain(img: Image.Image, which: str, bucket_size: Optional[int] = None) -> Image.Image:
-    if which == "cars":
-        img = rescale_short_side(img, 256)
-    elif which == "places":
-        img = rescale_short_side(img, 512, ceil_mode=True)
+def rescale_for_domain(
+    img: Image.Image, which: str, bucket_size: Optional[int] = None, native: bool = False
+) -> Image.Image:
+    """Domain resize rules (reference compute.py:165-180: cars short-side 256,
+    places short-side 512, geo/ftt native). `native=True` skips the domain
+    resize entirely — mining at the dataset's original resolution, which the
+    reference downscales for GPU memory; the flash-attention kernel handles
+    the resulting 16k+-token sequences (BENCH_NOTES L=16384)."""
+    if not native:
+        if which == "cars":
+            img = rescale_short_side(img, 256)
+        elif which == "places":
+            img = rescale_short_side(img, 512, ceil_mode=True)
     if bucket_size:
         w, h = img.size
         bw = max((w // bucket_size) * bucket_size, min(w, bucket_size))
@@ -53,9 +61,11 @@ def array_to_image(arr: np.ndarray) -> Image.Image:
     return Image.fromarray((arr * 255.0).round().astype(np.uint8))
 
 
-def load_image(path: str, which: str = "", bucket_size: Optional[int] = None) -> Tuple[np.ndarray, Image.Image]:
+def load_image(
+    path: str, which: str = "", bucket_size: Optional[int] = None, native: bool = False
+) -> Tuple[np.ndarray, Image.Image]:
     img = Image.open(path).convert("RGB")
-    img = rescale_for_domain(img, which, bucket_size)
+    img = rescale_for_domain(img, which, bucket_size, native=native)
     return image_to_array(img), img
 
 

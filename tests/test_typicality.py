@@ -209,3 +209,52 @@ def test_pipeline_with_bucketing(sd, ftt_dataset, tmp_path_factory):
     arr = typ.D[dec](items[0][0])
     # 32px images bucket to 32 (multiple of 16) -> latent 16 with the tiny VAE
     assert arr.shape == (4, 2, 4, 16, 16)
+
+
+def test_native_res_sweep(tmp_path_factory):
+    """`--native_res` skips the cars/places domain downscale (reference
+    compute.py:165-180 — a GPU-memory constant) and sweeps at the dataset's
+    original resolution; artifacts follow the native latent geometry."""
+    from diffmining_tpu.utils.images import rescale_for_domain
+
+    img = Image.fromarray(np.zeros((40, 48, 3), np.uint8))
+    assert rescale_for_domain(img, "cars").size[1] == 256  # short side scaled
+    assert rescale_for_domain(img, "cars", native=True).size == (48, 40)
+    assert rescale_for_domain(img, "places", native=True).size == (48, 40)
+
+    root = tmp_path_factory.mktemp("cars")
+    data = join(root, "train")
+    os.makedirs(data)
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (40, 48, 3), dtype=np.uint8)).save(
+        join(data, "car_0.jpg")
+    )
+    import json
+
+    with open(data + ".json", "w") as f:
+        json.dump({"car_0.jpg": {"year": 1930}}, f)
+    sd_cars = SD.init_tiny("cars", ["1930"])
+    typ_path = str(tmp_path_factory.mktemp("typ_native"))
+    typ = Typicality(
+        "cars", None, data, typ_path, t_min=0.1, t_max=0.7, sd=sd_cars,
+        N=2, batch_images=1, native_res=True,
+    )
+    cat = list(typ.categories())[0]
+    items = [(p, cat) for p in typ.get_seeds_(cat)]
+    assert items
+    typ.D[cat].compute_batch(items)
+    arr = typ.D[cat](items[0][0])
+    # tiny VAE f=2: native 40x48 -> 20x24 latent (the rescaled path would
+    # be short-side 256 -> 128x154)
+    assert arr.shape == (2, 2, 4, 20, 24)
+
+    # Cluster geometry must match the native artifacts
+    from diffmining_tpu.typicality.cluster import Cluster
+
+    cl = Cluster(
+        "cars", typ_path, data, str(tmp_path_factory.mktemp("cache_native")),
+        sd=sd_cars, kx=8, ky=8, native_res=True,
+    )
+    assert cl.load_image(items[0][0]).size == (48, 40)
+    dm = cl.load_typicality(cl.D[cat], items[0][0])
+    assert dm.shape == (40 - 8 + 1, 48 - 8 + 1)
