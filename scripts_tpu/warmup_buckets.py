@@ -29,6 +29,10 @@ def main(argv=None):
     ap.add_argument("--batch_images", type=int, default=4)
     ap.add_argument("--t_min", type=float, default=0.1)
     ap.add_argument("--t_max", type=float, default=0.7)
+    ap.add_argument(
+        "--native_res", action="store_true",
+        help="derive buckets at original resolution (match `typicality --native_res`)",
+    )
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -44,7 +48,7 @@ def main(argv=None):
     for c in typ.categories():
         for path in typ.get_seeds_(c):
             with Image.open(path) as img:
-                img = rescale_for_domain(img, args.which, args.bucket_size)
+                img = rescale_for_domain(img, args.which, args.bucket_size, native=args.native_res)
                 shapes[(img.height, img.width)] += 1
     print(f"{sum(shapes.values())} images in {len(shapes)} shape bucket(s):")
     for (h, w), n in shapes.most_common():
