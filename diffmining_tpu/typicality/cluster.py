@@ -565,7 +565,10 @@ class Cluster(Typicality):
         for name in os.listdir(root):
             for c in os.listdir(join(root, name)):
                 pils = []
-                files = sorted(os.listdir(join(root, name, c)), key=lambda x: int(x.split(".")[0]))
+                # skip the alpha-{i}.png overlay companions (saved by
+                # plot_top_k(overlays=True)) — the strip shows the raw crops
+                files = [f for f in os.listdir(join(root, name, c)) if not f.startswith("alpha-")]
+                files = sorted(files, key=lambda x: int(x.split(".")[0]))
                 for file in files:
                     pil = Image.open(join(root, name, c, file))
                     if filter_patch(np.asarray(pil.convert("RGB"))):

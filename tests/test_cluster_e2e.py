@@ -231,3 +231,13 @@ def test_plot_top_k_overlays(setup):
         a = Image.open(join(outdir, "alpha-0.png"))
         p = Image.open(join(outdir, "0.png"))
         assert a.size == p.size
+
+
+def test_make_topk_figure_with_overlays(setup, tmp_path_factory):
+    """make_topk_figure must skip the alpha-{i}.png companions (its numeric
+    sort key crashed on them before)."""
+    cl, root, cache = setup
+    cl.plot_top_k(k_per_image=2, k=4, overlays=True)
+    figs = str(tmp_path_factory.mktemp("figs_ov"))
+    cl.make_topk_figure(figs)
+    assert os.path.isdir(join(figs, "topk"))
