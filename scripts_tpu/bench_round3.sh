@@ -22,4 +22,5 @@ run() {
 run python bench.py
 run python bench.py --e2e
 run env DIFFMINING_SWEEP_DEDUP=0 python bench.py --e2e
+run python scripts_tpu/bench_dift.py
 echo "done: results in $OUT"
