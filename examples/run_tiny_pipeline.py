@@ -89,7 +89,9 @@ def main(root: str) -> None:
     cl = Cluster("ftt", typ_path, join(data_root, "train"), cache,
                  model_path=export_dir, kx=8, ky=8)
     cl.clustering(feature_which="dift-161", k_per_image=3, k=12, num_clusters=2)
+    cl.plot_top_k(k_per_image=3, k=6, overlays=True)  # typicality-as-alpha composites
     cl.make_figure(figs, min_im=2, hard_limit=4)
+    cl.make_topk_figure(figs)
     print("[3] clusters + figures:", os.listdir(join(figs, "clusters")))
 
     # 4. HTML report
