@@ -329,6 +329,20 @@ class D:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        # one-deep save pipeline: jax dispatch is async, so dispatching group
+        # N+1 BEFORE fetching/saving group N lets the device compute the next
+        # sweep while the host converts + writes ~6.5 MB/image of fp16 .npy
+        # (and, through the axon relay, pays the fetch round-trip)
+        pending = None
+
+        def drain(nxt):
+            nonlocal pending
+            if pending is not None:
+                n = self._save_group(*pending)
+                if progress is not None:
+                    progress(n)
+            pending = nxt
+
         while True:
             item = q.get()
             if item is None:
@@ -337,17 +351,17 @@ class D:
             group = by_shape[arr.shape[:2]]
             group.append((path, country, arr))
             if len(group) >= self.batch_images:
-                self._compute_group(group)
-                if progress is not None:
-                    progress(len(group))
+                drain(self._dispatch_group(group))
                 group.clear()
         for group in by_shape.values():
             if group:
-                self._compute_group(group)
-                if progress is not None:
-                    progress(len(group))
+                drain(self._dispatch_group(group))
+        drain(None)
 
     def _compute_group(self, group: Sequence[Tuple[str, str, np.ndarray]]) -> None:
+        self._save_group(*self._dispatch_group(group))
+
+    def _dispatch_group(self, group: Sequence[Tuple[str, str, np.ndarray]]):
         n_real = len(group)
         # pad partial groups to the full batch by repeating the last item:
         # every sweep then runs the SAME compiled graph, which (a) avoids
@@ -373,12 +387,16 @@ class D:
             vae_keys = jax.device_put(vae_keys, data)
         latents = self.sd.encode_vae_per_image(images, vae_keys)
         losses = self.engine.compute(latents, ctx, uids)  # [B,N,2,h,w,C]
-        losses.block_until_ready()
+        return paths, n_real, losses
+
+    def _save_group(self, paths, n_real: int, losses) -> int:
+        """Fetch + write one dispatched group's artifacts; returns n_real."""
         from diffmining_tpu.utils.artifacts import atomic_save_npy
 
         os.makedirs(self.typicality_path, exist_ok=True)
         for b, path in enumerate(paths[:n_real]):
             atomic_save_npy(self.get_path(path), losses_to_reference_layout(np.asarray(losses[b])))
+        return n_real
 
 
 def get_country(path: str) -> str:
