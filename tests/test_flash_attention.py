@@ -162,3 +162,18 @@ def test_flash_transposed_gradient():
     want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("l", [4096, 20480])
+def test_flash_large_l_block_regime(l):
+    """The >=4096 block-shape switch (512x4096 full-row k blocks) and the
+    beyond-16k regime that native-resolution mining reaches (a 1150px image
+    is ~20k level-0 tokens) — interpret-mode equality vs XLA."""
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 1, l, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 1, l, 8), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 1, l, 8), jnp.float32)
+    want = np.asarray(sdpa_xla(q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
