@@ -175,3 +175,31 @@ def test_vae_decode_parity(vae_pair):
         want = tref.decode(torch.from_numpy(z)).numpy()
     got = vae.apply(params, jnp.asarray(z.transpose(0, 2, 3, 1)), method=AutoencoderKL.decode)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-3, atol=3e-4)
+
+
+def test_unet_depth2_transformer_parity():
+    """transformer_layers=2 (SDXL-style Transformer2DModel depth) through the
+    converter + oracle: pins the depth plumbing added to the oracle (which
+    SD-v1.5's depth-1 configs never exercise)."""
+    torch.manual_seed(2)
+    tref = UNet2DConditionRef(**CFG, transformer_layers=2).eval()
+    cfg = UNetConfig(
+        block_out_channels=CFG["block_out_channels"],
+        layers_per_block=CFG["layers_per_block"],
+        cross_attention_dim=CFG["cross_attention_dim"],
+        num_attention_heads=CFG["num_attention_heads"],
+        down_block_has_attn=CFG["down_block_has_attn"],
+        norm_num_groups=CFG["norm_num_groups"],
+        transformer_layers=2,
+    )
+    unet = UNet2DCondition(cfg, dtype=jnp.float32)
+    params = {"params": convert_unet(_state_np(tref))}
+    rng = np.random.RandomState(7)
+    x = rng.randn(1, cfg.in_channels, 16, 16).astype(np.float32)
+    ctx = rng.randn(1, 77, cfg.cross_attention_dim).astype(np.float32)
+    with torch.no_grad():
+        want = tref(torch.from_numpy(x), torch.tensor([261]), torch.from_numpy(ctx)).numpy()
+    got = np.asarray(
+        unet.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray([261], jnp.int32), jnp.asarray(ctx))
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
