@@ -16,7 +16,7 @@ OUT=${OUT:-/tmp/bench_round3.log}
 
 run() {
   echo "=== $* ($(date +%H:%M:%S)) ===" | tee -a "$OUT"
-  timeout "${BENCH_TIMEOUT:-3600}" "$@" 2>&1 | grep -v WARNING | tail -3 | tee -a "$OUT"
+  timeout "${BENCH_TIMEOUT:-5400}" "$@" 2>&1 | grep -v WARNING | tail -3 | tee -a "$OUT"
 }
 
 run python bench.py
