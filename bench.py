@@ -114,6 +114,28 @@ def measure_e2e_typicality(n_images: int = 16, n_samples: int = 100, image_px: i
     return n_images / dt * 3600.0
 
 
+def _probe_devices(timeout_s: float) -> str | None:
+    """The axon relay has multi-hour outages during which `jax.devices()`
+    hangs forever (no error). Probe it on a daemon thread so the bench can
+    report an honest failure line instead of hanging the driver."""
+    import threading
+
+    result: dict = {}
+
+    def probe():
+        try:
+            result["devs"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            result["err"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        return f"device probe timed out after {timeout_s:.0f}s (axon tunnel down?)"
+    return result.get("err")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
@@ -123,6 +145,21 @@ def main():
     ap.add_argument("--e2e", action="store_true", help="end-to-end typicality images/hr")
     ap.add_argument("--e2e-chunk", type=int, default=2, help="samples per sweep step (UNet batch = 4*chunk*2; 16 is the measured v5e optimum)")
     args = ap.parse_args()
+
+    if not args.measure_cpu_baseline:
+        err = _probe_devices(float(os.environ.get("DIFFMINING_BENCH_PROBE_TIMEOUT", "1200")))
+        if err is not None:
+            metric = (
+                "typicality_images_per_hr_512px_N100"
+                if args.e2e
+                else "unet_eps_pred_passes_per_sec_per_chip_512px"
+            )
+            print(json.dumps({
+                "metric": metric, "value": 0.0,
+                "unit": "images/hr" if args.e2e else "passes/s",
+                "vs_baseline": None, "error": err,
+            }))
+            raise SystemExit(1)
 
     if args.e2e:
         iph = measure_e2e_typicality(chunk=args.e2e_chunk)

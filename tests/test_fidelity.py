@@ -54,6 +54,57 @@ def test_compare_typicality_dirs(tmp_path):
     assert res["__mean__"] > 0.9
 
 
+def test_bf16_exp_chain_fidelity(monkeypatch):
+    """The DIFFMINING_FLASH_BF16_EXP softmax fast path must not move the
+    typicality instrument: run the tiny UNet → MSE grid → typicality_map
+    chain with every attention forced through the Pallas kernels (interpret
+    mode), bf16-exp OFF vs ON, and pin map agreement. Closes the BENCH_NOTES
+    round-2 "pending sweep-scale fidelity check" slot together with the
+    L=4096 kernel-level bound in test_flash_attention.py."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import diffmining_tpu.ops.attention as attn
+    import diffmining_tpu.ops.flash_attention as fa
+    from diffmining_tpu.models.unet import UNet2DCondition, UNetConfig
+    from diffmining_tpu.ops.pool import typicality_map
+
+    cfg = UNetConfig(
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        cross_attention_dim=32,
+        num_attention_heads=4,
+        down_block_has_attn=(True, True),
+        norm_num_groups=8,
+    )
+    unet = UNet2DCondition(cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    N, hl, wl = 3, 16, 16  # L=256 level-0 self-attention
+    noisy = jnp.asarray(rng.randn(N, hl, wl, 4), jnp.float32)
+    ts = jnp.asarray([120, 350, 661], jnp.int32)
+    ctx = jnp.asarray(rng.randn(N, 7, 32), jnp.float32)
+    params = unet.init(jax.random.PRNGKey(0), noisy[:1], ts[:1], ctx[:1])
+
+    monkeypatch.setattr(attn, "_DEFAULT_BACKEND", "pallas")
+
+    def loss_grid():
+        with pltpu.force_tpu_interpret_mode():
+            pred = unet.apply(params, noisy, ts, ctx)
+        # [N, 1(cond), C, hl, wl] fp16 — the artifact layout, null mocked as cond+noise-free copy
+        g = np.asarray((pred - noisy) ** 2, np.float16).transpose(0, 3, 1, 2)
+        return np.stack([g, g * 1.1], axis=1)  # synthetic null channel, same both runs
+
+    base = loss_grid()
+    monkeypatch.setattr(fa, "_BF16_EXP", True)
+    fast = loss_grid()
+    assert np.any(base != fast), "flag did not engage"
+
+    H, W, K = 64, 64, 16
+    m0 = np.asarray(typicality_map(jnp.asarray(base), H, W, K, K))
+    m1 = np.asarray(typicality_map(jnp.asarray(fast), H, W, K, K))
+    np.testing.assert_allclose(m1, m0, rtol=5e-3, atol=1e-4)
+    assert pearson(m0, m1) > 0.9999
+
+
 def test_n_convergence_of_typicality_estimator():
     """More (eps,t) draws -> more stable maps: the split-half correlation of
     the estimator must increase with N (the property that makes N=100 a
