@@ -32,9 +32,12 @@ def main() -> None:
             i = argv.index("--which")
             which = argv[i + 1]
             argv = argv[:i] + argv[i + 2 :]
-        if which is None:
-            raise SystemExit("finetune requires --which {cars,ftt,geo,places,xray}")
         from diffmining_tpu.finetuning.args import parse_args
+
+        if which is None:
+            if "-h" in argv or "--help" in argv:
+                parse_args(argv)  # argparse prints the trainer flags and exits
+            raise SystemExit("finetune requires --which {cars,ftt,geo,places,xray}")
         from diffmining_tpu.finetuning.base import BaseTrainer
 
         BaseTrainer(which, parse_args(argv)).train()
@@ -67,6 +70,8 @@ def main() -> None:
 
         m(argv)
     elif cmd == "html":
+        if not argv or "-h" in argv or "--help" in argv:
+            raise SystemExit("usage: html <figures_dir> [output_dir] [nc]")
         from diffmining_tpu.typicality.make_html import generate_html
 
         generate_html(*argv)
