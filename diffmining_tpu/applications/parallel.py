@@ -85,6 +85,7 @@ class ParallelCluster:
         faithful_centers: bool = True,
         clip_dir: Optional[str] = None,
         clip_bundle: Optional[dict] = None,
+        mesh=None,
     ):
         self.typ = ParallelTypicality(None, dataset_path, typicality_path, sd=sd)
         self.D = self.typ.D
@@ -97,6 +98,7 @@ class ParallelCluster:
         self.aggregate = median_agg if aggregate == "median" else mean_agg
         self.faithful_centers = faithful_centers
         self._dift_sd = dift_sd
+        self.mesh = mesh  # shard the DIFT ensemble axis over "dp" (--mesh_dp)
         self.dift: Optional[SDFeaturizer] = None
         # clip / clip+dift-* feature modes (reference parallel cluster.py:
         # 146-190): CLIP embeds of the per-country crops, flattened concat
@@ -162,7 +164,7 @@ class ParallelCluster:
             if sd is None:
                 assert self.model_path is not None
                 sd = SD.from_pipeline_dir("geo", self.model_path, [])
-            self.dift = SDFeaturizer(sd)
+            self.dift = SDFeaturizer(sd, mesh=self.mesh)
 
     def _cached(self, sub: str, idd: str, fn):
         emb_dir = join(self.cache_path, "embeddings", sub)
@@ -346,7 +348,17 @@ def main(argv=None):
         help="converted CLIPModel dir for the clip feature modes "
         "(reference parallel cluster.py:146 default models/clip-vit-base-patch32)",
     )
+    p.add_argument(
+        "--mesh_dp", type=int, default=None,
+        help="shard the DIFT ensemble axis over a dp-axis device mesh",
+    )
     args = p.parse_args(argv)
+
+    mesh = None
+    if args.mesh_dp is not None:
+        from diffmining_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.mesh_dp, fsdp=1)
 
     if args.compute or args.make_submission:
         typ = ParallelTypicality(args.model_path, args.dataset_path, args.typicality_path)
@@ -360,7 +372,7 @@ def main(argv=None):
     cl = ParallelCluster(
         args.typicality_path, args.dataset_path, args.cache_path, args.recache,
         model_path=args.model_path, aggregate=args.aggregate, kx=args.k, ky=args.k,
-        clip_dir=args.clip_dir,
+        clip_dir=args.clip_dir, mesh=mesh,
     )
     if args.cluster:
         cl.clustering(args.feature_which, k=k, num_clusters=args.num_clusters, num_components=args.num_components)

@@ -122,6 +122,7 @@ class Cluster(Typicality):
         clip_dir: Optional[str] = None,
         clip_bundle: Optional[dict] = None,
         native_res: bool = False,
+        mesh=None,
     ):
         # model-free init: score maps only need the artifacts (reference
         # cluster.py:58 passes model_path=None to Typicality)
@@ -137,6 +138,7 @@ class Cluster(Typicality):
         self.aggregate = median_agg if aggregate == "median" else mean_agg
         self.cache_features = cache_features
         self._dift_sd = dift_sd
+        self.mesh = mesh  # shard the DIFT ensemble axis over "dp" (--mesh_dp)
         self.dift: Optional[SDFeaturizer] = None
         # CLIP patch features ("clip" / "clip+dift-*" modes, reference
         # cluster.py:216-221,243-301): a converted transformers CLIPModel dir
@@ -290,7 +292,7 @@ class Cluster(Typicality):
             if sd is None:
                 assert self.model_path is not None, "DIFT features need a model"
                 sd = SD.from_pipeline_dir(self.which, self.model_path, [])
-            self.dift = SDFeaturizer(sd)
+            self.dift = SDFeaturizer(sd, mesh=self.mesh)
 
     def init_clip(self):
         """Lazy CLIP image embedder for the `clip` feature modes (reference
@@ -622,13 +624,24 @@ def main(argv=None):
         help="mine artifacts swept with `typicality --native_res` (skips the "
         "cars/places domain downscale so boxes match the stored grids)",
     )
+    parser.add_argument(
+        "--mesh_dp", type=int, default=None,
+        help="shard the DIFT ensemble axis over a dp-axis device mesh of this "
+        "size (the mining-stage analog of `typicality --mesh_dp`)",
+    )
     args = parser.parse_args(argv)
+
+    mesh = None
+    if args.mesh_dp is not None:
+        from diffmining_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.mesh_dp, fsdp=1)
 
     cluster = Cluster(
         args.which, args.typicality_path, args.dataset_path, args.cache_path, args.recache,
         model_path=args.model_path, aggregate=args.aggregate, kx=args.k, ky=args.k,
         cache_features=args.cache_features, clip_dir=args.clip_dir,
-        native_res=args.native_res,
+        native_res=args.native_res, mesh=mesh,
     )
     if args.topk:
         cluster.plot_top_k(

@@ -27,9 +27,15 @@ from diffmining_tpu.utils.images import image_to_array
 class SDFeaturizer:
     """Prompt-conditioned one-step UNet feature extractor."""
 
-    def __init__(self, sd: SD, seed: int = 42, image_cache_size: int = 8):
+    def __init__(self, sd: SD, seed: int = 42, image_cache_size: int = 8, mesh=None):
         self.sd = sd
         self.seed = seed
+        # with a mesh, the ensemble axis (E=8 noise draws) shards over "dp":
+        # each chip runs E/dp UNet forwards and the feature mean reduces over
+        # ICI — the mining-stage analog of the sweep's --mesh_dp
+        self.mesh = mesh
+        if mesh is not None:
+            assert "dp" in mesh.shape, f"mesh needs a 'dp' axis, got {mesh.shape}"
         self._jit_cache = {}
         # per-image feature-map LRU: the reference recomputes the WHOLE image's
         # DIFT ensemble for every patch (cluster.py:291-299 via dift.forward);
@@ -43,10 +49,11 @@ class SDFeaturizer:
             sd = self.sd
 
             @jax.jit
-            def run(unet_params, vae_params, latent, ctx, t, rng):
-                # latent [h,w,C] (already VAE-encoded+scaled), ctx [77,D]
+            def run(unet_params, latent, ctx, t, noise):
+                # latent [h,w,C] (already VAE-encoded+scaled), ctx [77,D],
+                # noise [E,h,w,C] (drawn outside the jit so the mesh path can
+                # shard the ensemble axis; same threefry draw either way)
                 E = ensemble_size
-                noise = jax.random.normal(rng, (E,) + latent.shape, dtype=jnp.float32)
                 lat = jnp.broadcast_to(latent[None], noise.shape)
                 noisy = add_noise(sd.schedule, lat, noise, jnp.broadcast_to(t, (E,))).astype(sd.dtype)
                 ctx_b = jnp.broadcast_to(ctx[None], (E,) + ctx.shape).astype(sd.dtype)
@@ -78,10 +85,24 @@ class SDFeaturizer:
         ids = jnp.asarray(sd.tokenizer([prompt]))
         ctx = sd.clip.apply(sd.clip_params, ids)[0].astype(jnp.float32)
         fn = self._feature_fn(up_ft_index, ensemble_size)
+        noise = jax.random.normal(kens, (ensemble_size,) + latent.shape, dtype=jnp.float32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = self.mesh.shape["dp"]
+            assert ensemble_size % dp == 0, (
+                f"ensemble_size={ensemble_size} must divide over dp={dp} "
+                "(no silent unsharded fallback)"
+            )
+            noise = jax.device_put(noise, NamedSharding(self.mesh, P("dp")))
+            rep = NamedSharding(self.mesh, P())
+            latent, ctx = jax.device_put(latent, rep), jax.device_put(ctx, rep)
         # sweep_params: the SAME compute-dtype tree the typicality engines use
         # (flax casts params to the module dtype in-kernel either way, so this
         # changes no numerics — it avoids holding a second parameter copy)
-        feat = fn(sd.sweep_params(), sd.vae_params, latent, ctx, jnp.asarray(t, jnp.int32), kens)
+        feat = fn(
+            sd.sweep_params(self.mesh), latent, ctx, jnp.asarray(t, jnp.int32), noise,
+        )
         return np.asarray(feat)
 
     def patch_feature(

@@ -49,6 +49,23 @@ def test_sharded_typicality_sweep_matches_single_device(mesh):
     )
 
 
+def test_sharded_dift_matches_single_device(mesh):
+    """The dp-sharded DIFT featurizer (ensemble axis over 'dp', the mining
+    stage's --mesh_dp) must reproduce the unsharded features — same threefry
+    noise either way, only the reduction is distributed."""
+    from diffmining_tpu.typicality.dift import SDFeaturizer
+
+    sd = SD.init_tiny("ftt", ["1930"])
+    rng = np.random.RandomState(0)
+    img = rng.rand(32, 32, 3).astype(np.float32) * 2.0 - 1.0
+    kwargs = dict(prompt="Portrait at the 1930's.", t=161, ensemble_size=8, uid=7)
+    plain = SDFeaturizer(sd).forward(img, **kwargs)
+    sharded = SDFeaturizer(sd, mesh=make_mesh(dp=4, fsdp=1)).forward(img, **kwargs)
+    np.testing.assert_allclose(plain, sharded, rtol=2e-4, atol=2e-5)
+    with pytest.raises(AssertionError, match="ensemble_size"):
+        SDFeaturizer(sd, mesh=make_mesh(dp=4, fsdp=1)).forward(img, prompt="x", ensemble_size=6)
+
+
 def test_sharded_sweep_pads_non_divisible_batch(mesh, capsys):
     """B % dp != 0 must PAD and shard, never silently fall back to one device
     (VERDICT r2 weak #2); the padded rows are sliced off the result."""
