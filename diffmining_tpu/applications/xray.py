@@ -128,7 +128,7 @@ def load_paths(gt_path: str, diseases: Sequence[str], seed: int = 42):
 
 class XRayTypicality:
     def __init__(self, sd: SD, gt_path: str, output_path: str, diseases: Sequence[str] = DISEASES,
-                 seed: int = 42, N: int = 100, blur: bool = False):
+                 seed: int = 42, N: int = 100, blur: bool = False, mesh=None):
         self.sd = sd
         self.output_path = output_path
         self.diseases = sorted(diseases)
@@ -137,8 +137,8 @@ class XRayTypicality:
         self.blur = blur
         self.parent = load_paths(gt_path, self.diseases, seed)
         self.engine = TypicalityEngine(
-            unet=sd.unet, unet_params=sd.sweep_params(), cast_params=False,
-            schedule=sd.schedule,
+            unet=sd.unet, unet_params=sd.sweep_params(mesh), cast_params=False,
+            schedule=sd.schedule, mesh=mesh,
             seed=seed, n_samples=N, t_min=0.0, t_max=1.0, dtype=sd.dtype,
         )
         # embeddings: [disease..., "no finding", ""] all embedded once
@@ -306,6 +306,10 @@ def main(argv=None):
     p.add_argument("--batch_images", type=int, default=4)
     p.add_argument("--blur", action="store_true")
     p.add_argument("--compare", nargs=2, default=None, metavar=("PT", "FT"))
+    p.add_argument(
+        "--mesh_dp", type=int, default=None,
+        help="shard the sweep batch over a dp-axis device mesh of this size",
+    )
     args = p.parse_args(argv)
 
     if args.compare:
@@ -317,10 +321,16 @@ def main(argv=None):
         from diffmining_tpu.finetuning.export import export_model
 
         model_path = export_model("xray", model_path)
+    mesh = None
+    if args.mesh_dp is not None:
+        from diffmining_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.mesh_dp, fsdp=1)
+
     sd = SD.from_pipeline_dir("xray", model_path, [])
-    XRayTypicality(sd, args.gt_path, args.output_path, DISEASES, N=args.N, blur=args.blur).main(
-        batch_images=args.batch_images
-    )
+    XRayTypicality(
+        sd, args.gt_path, args.output_path, DISEASES, N=args.N, blur=args.blur, mesh=mesh,
+    ).main(batch_images=args.batch_images)
 
 
 if __name__ == "__main__":

@@ -153,9 +153,16 @@ def dense_search(
 
     K = ws.shape[0]
     ws_j = jnp.asarray(ws.astype(np.float32))
-    if mesh is not None and K % mesh.shape["dp"] == 0:
+    pad = 0
+    if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        dp = mesh.shape["dp"]
+        pad = (-K) % dp
+        if pad:
+            # pad-to-shardable rather than silently running on one device
+            # (the engine's sweep applies the same policy)
+            ws_j = jnp.concatenate([ws_j, jnp.repeat(ws_j[-1:], pad, axis=0)])
         ws_j = jax.device_put(ws_j, NamedSharding(mesh, P("dp")))
     heaps: List[List[tuple]] = [[] for _ in range(K)]
     counter = 0
@@ -174,8 +181,8 @@ def dense_search(
                 best, arg = _search_block_masked(feats, ws_j, jnp.asarray(mask))
             else:
                 best, arg = _search_block(feats, ws_j)
-            best = np.asarray(best)
-            arg = np.asarray(arg)
+            best = np.asarray(best)[:K]
+            arg = np.asarray(arg)[:K]
             # vectorized gate: only candidates that can enter a heap are
             # visited in Python (after warmup almost none pass)
             thresholds = np.asarray(
@@ -235,10 +242,11 @@ def random_sample(shard_paths: Sequence[str], fold=None, num_samples: int = 1000
 
 class Doersch:
     def __init__(self, main_dir: str, which: str, dataset_path: str, seed: int = 42,
-                 how_many: int = 25000, threshold: int = 50):
+                 how_many: int = 25000, threshold: int = 50, mesh=None):
         self.main_dir = main_dir
         self.which = which
         self.seed = seed
+        self.mesh = mesh  # shard the detector axis of every dense search
         self.how_many = how_many
         self.threshold = threshold
         load = {"geo": self._load_geo, "ftt": self._load_ftt, "cars": self._load_cars}[which]
@@ -371,7 +379,7 @@ class Doersch:
         for start in range(0, len(patches), batch_size):
             chunk = patches[start : start + batch_size]
             ws = np.stack([self.detector_vector(b, p) for b, p in chunk])
-            results = dense_search(ws, shards, top_k=50)
+            results = dense_search(ws, shards, top_k=50, mesh=self.mesh)
             for j, bf in enumerate(results):
                 idx = start + j
                 meta["discriminative-20"][idx] = sum(1 for y in bf[:20] if y[-1] in pos_set)
@@ -449,7 +457,7 @@ class Doersch:
                 ws = np.stack([w for _k, _p, w in chunk])
                 hard_negatives: List[List] = [[] for _ in range(len(chunk))]
                 for i in range(l):
-                    positives = dense_search(ws, pos_shards, fold=(i + 1, l), top_k=5, ret_ws=True)
+                    positives = dense_search(ws, pos_shards, fold=(i + 1, l), top_k=5, ret_ws=True, mesh=self.mesh)
                     negatives = [
                         random_sample(neg_shards, fold=(i + 1, l),
                                       num_samples=max(25000 - len(hn), 10000), seed=i)
@@ -463,7 +471,7 @@ class Doersch:
                         new_ws.append(w)
                         hard_negatives[j] += negs
                     ws = np.stack(new_ws)
-                final = dense_search(ws, all_shards, top_k=100)
+                final = dense_search(ws, all_shards, top_k=100, mesh=self.mesh)
                 for j, (e, fp) in enumerate(zip(final, fps)):
                     accuracy = sum(1 for y in e if y[-1] in pos_set)
                     top_detections = [(bbox, path) for _s, bbox, path in e if path in pos_set]
@@ -539,8 +547,19 @@ def main(argv=None):
     p.add_argument("--which", type=str, default="geo", choices=["ftt", "cars", "geo"])
     p.add_argument("--dataset_path", type=str, required=True)
     p.add_argument("--category", type=str, default="United States")
+    p.add_argument(
+        "--mesh_dp", type=int, default=None,
+        help="shard every dense search's detector axis over a dp-axis device "
+        "mesh (replaces the reference's file-lock multi-GPU pool)",
+    )
     args = p.parse_args(argv)
-    d = Doersch(args.main_dir, args.which, args.dataset_path, how_many=args.how_many, threshold=args.threshold)
+    mesh = None
+    if args.mesh_dp is not None:
+        from diffmining_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.mesh_dp, fsdp=1)
+    d = Doersch(args.main_dir, args.which, args.dataset_path, how_many=args.how_many,
+                threshold=args.threshold, mesh=mesh)
     d.get_top(c=args.category)
 
 

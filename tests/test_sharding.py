@@ -282,3 +282,11 @@ def test_dense_search_sharded_matches(mesh, tmp_path):
     sharded = dense_search(ws, shards, top_k=3, mesh=make_mesh(dp=4, fsdp=1))
     for a, b in zip(plain, sharded):
         assert [(round(x[0], 4), x[1], x[2]) for x in a] == [(round(x[0], 4), x[1], x[2]) for x in b]
+    # K % dp != 0 must PAD the detector axis and shard, never silently run
+    # unsharded (same policy as the sweep) — and the padded rows are dropped
+    ws5 = ws[:5]
+    plain5 = dense_search(ws5, shards, top_k=3)
+    sharded5 = dense_search(ws5, shards, top_k=3, mesh=make_mesh(dp=4, fsdp=1))
+    assert len(sharded5) == 5
+    for a, b in zip(plain5, sharded5):
+        assert [(round(x[0], 4), x[1], x[2]) for x in a] == [(round(x[0], 4), x[1], x[2]) for x in b]

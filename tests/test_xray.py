@@ -97,6 +97,23 @@ def test_load_paths_halves_boxes(xray_dataset):
     assert len(parent["Effusion"]) == 0
 
 
+def test_xray_mesh_matches_single_device(xray_dataset, tmp_path):
+    """`xray --mesh_dp` shards the per-disease sweeps; maps must match the
+    unsharded run (the engine pads the 1-image batch to dp)."""
+    from diffmining_tpu.parallel.mesh import make_mesh
+
+    sd = SD.init_tiny("xray", [])
+    plain = XRayTypicality(sd, xray_dataset, str(tmp_path / "p"), ["Pneumonia"], N=4)
+    sharded = XRayTypicality(
+        sd, xray_dataset, str(tmp_path / "s"), ["Pneumonia"], N=4,
+        mesh=make_mesh(dp=2, fsdp=1),
+    )
+    (path, _bb) = plain.parent["Pneumonia"][0]
+    a = plain.pixel_maps("Pneumonia", [path])[0]
+    b = sharded.pixel_maps("Pneumonia", [path])[0]
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4)
+
+
 def test_xray_end_to_end(xray_dataset, tmp_path):
     sd = SD.init_tiny("xray", [])
     out = str(tmp_path / "out")
