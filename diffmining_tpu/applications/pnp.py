@@ -85,26 +85,44 @@ class PNP:
 
     def encode_image_mean(self, img_array: np.ndarray) -> jax.Array:
         """VAE posterior MEAN × scaling (reference pnp.py:150-155 — PnP uses
-        the mean, not a sample, so inversion is deterministic)."""
-        mean, _ = self.sd.vae.apply(self.sd.vae_params, jnp.asarray(img_array)[None].astype(self.sd.dtype))
+        the mean, not a sample, so inversion is deterministic). Accepts one
+        image [H,W,3] or a stack [S,H,W,3]."""
+        arr = jnp.asarray(img_array)
+        if arr.ndim == 3:
+            arr = arr[None]
+        mean, _ = self.sd.vae.apply(self.sd.vae_params, arr.astype(self.sd.dtype))
         return (mean.astype(jnp.float32) * self.sd.vae.config.scaling_factor)
 
     def invert(self, img_array: np.ndarray, inversion_prompt: str = "") -> None:
-        """Run the 999-step inversion and cache the trajectory."""
+        """Run the 999-step inversion and cache the trajectory. Accepts one
+        image [H,W,3] or a same-shape stack [S,H,W,3]: the whole stack inverts
+        in ONE scan at UNet batch S (B=1 is the least MXU-efficient shape of
+        the entire PnP product — 16.9 ms/call vs ~7.5 amortized at B=16,
+        BENCH_NOTES; the reference inverts one image per GPU, pnp.py:157-180).
+        Per-source math is identical — batching only widens the batch axis."""
         lat = self.encode_image_mean(img_array)
-        ctx = self.embed([inversion_prompt])
+        S = lat.shape[0]
+        ctx1 = self.embed([inversion_prompt])
+        ctx = jnp.broadcast_to(ctx1, (S,) + ctx1.shape[1:])
         x_T, traj = self._invert(self.sd.unet_params, lat.astype(self.sd.dtype), ctx)
-        self._source_latent = x_T  # noised endpoint, the sampler's x_init
-        self._trajectory = traj  # traj[i] = x_{t=i+1}
+        self._source_latent = x_T  # [S,...] noised endpoints, the sampler's x_init
+        self._trajectory = traj  # [T, S, ...]; traj[i] = x_{t=i+1}
         self._clean_latent = lat
 
-    def reconstruct(self) -> Image.Image:
-        """Sample back from the inversion endpoint with the inversion prompt
-        (reference 'inverted--' image, pnp.py:214-216)."""
+    def num_sources(self) -> int:
+        assert self._source_latent is not None, "call invert() first"
+        return int(self._source_latent.shape[0])
+
+    def reconstruct_many(self) -> List[Image.Image]:
+        """Sample every inverted source back down from its endpoint with the
+        inversion prompt, in ONE B=S chain (reference 'inverted--' image,
+        pnp.py:214-216)."""
         assert self._source_latent is not None
         # plain DDIM chain back down all inversion steps (no CFG)
-        ctx = self.embed([""])
         x = self._source_latent
+        S = x.shape[0]
+        ctx1 = self.embed([""])
+        ctx = jnp.broadcast_to(ctx1, (S,) + ctx1.shape[1:])
         sched = self.sd.schedule
         ts = np.arange(self.inversion_steps, 0, -1, dtype=np.int32)
 
@@ -117,7 +135,19 @@ class PNP:
         ts_prev = jnp.concatenate([ts_j[1:], jnp.asarray([-1], jnp.int32)])
         x, _ = jax.lax.scan(step, x, (ts_j, ts_prev))
         img = self.sd.vae.apply(self.sd.vae_params, x.astype(self.sd.dtype), method=AutoencoderKL.decode)
-        return array_to_image(np.asarray(img[0], np.float32))
+        return [array_to_image(np.asarray(img[s], np.float32)) for s in range(S)]
+
+    def reconstruct(self, source: int = 0) -> Image.Image:
+        assert self._source_latent is not None
+        if self._source_latent.shape[0] == 1:
+            return self.reconstruct_many()[0]
+        # single-source decode without re-running the other chains
+        saved_lat, saved_traj = self._source_latent, self._trajectory
+        try:
+            self._source_latent = saved_lat[source : source + 1]
+            return self.reconstruct_many()[0]
+        finally:
+            self._source_latent, self._trajectory = saved_lat, saved_traj
 
     # ------------------------------------------------------------------
 
@@ -179,45 +209,58 @@ class PNP:
         self._translate_cache[B] = run
         return run
 
-    def generate(self, target_prompts: Sequence[str], uncond_prompt: str = "") -> List[Image.Image]:
-        """Translate the inverted source to each target prompt."""
+    def generate(self, target_prompts: Sequence[str], uncond_prompt: str = "",
+                 source: int = 0) -> List[Image.Image]:
+        """Translate inverted source `source` to each target prompt."""
         assert self._trajectory is not None, "call invert() first"
         sd = self.sd
         B = len(target_prompts)
         cond = self.embed(list(target_prompts))
         uncond = jnp.broadcast_to(self.embed([uncond_prompt]), cond.shape)
         ctx = jnp.concatenate([uncond, cond], axis=0)  # [2B, 77, D]
-        x0 = jnp.concatenate([self._source_latent] * B, axis=0).astype(sd.dtype)
+        src_lat = self._source_latent[source : source + 1]
+        traj = self._trajectory[:, source : source + 1]
+        x0 = jnp.concatenate([src_lat] * B, axis=0).astype(sd.dtype)
         run = self._translate_fn(B)
-        imgs = run(sd.unet_params, sd.vae_params, x0, self._trajectory, ctx, self.embed([uncond_prompt]))
+        imgs = run(sd.unet_params, sd.vae_params, x0, traj, ctx, self.embed([uncond_prompt]))
         return [array_to_image(np.asarray(imgs[b], np.float32)) for b in range(B)]
 
 
 class Generator:
     """Filesystem protocol around PNP (reference Generator/plotum,
-    pnp.py:580-627): writes gt--, inverted--, projected--/{c}_ files."""
+    pnp.py:580-627): writes gt--, inverted--, projected--/{c}_ files.
 
-    def __init__(self, sd: SD, image_path: str, inversion_steps: int = 999, n_timesteps: int = 50):
+    Accepts one image path or a list of SAME-SHAPE paths: a group inverts and
+    reconstructs in single B=S scans (the B=1 inversion is the PnP product's
+    least MXU-efficient stage); the per-source translations are unchanged."""
+
+    def __init__(self, sd: SD, image_path, inversion_steps: int = 999, n_timesteps: int = 50):
         self.sd = sd
-        self.image_path = image_path
-        self.country = os.path.split(os.path.split(image_path)[0])[1]
-        self.pre_head = "_".join(os.path.split(image_path)[-1].split("_")[1:])
-        self.pil = Image.open(image_path).convert("RGB")
-        self.arr = image_to_array(self.pil)
+        paths = [image_path] if isinstance(image_path, str) else list(image_path)
+        self.image_paths = paths
+        self.countries_of = [os.path.split(os.path.split(p)[0])[1] for p in paths]
+        self.pre_heads = ["_".join(os.path.split(p)[-1].split("_")[1:]) for p in paths]
+        self.pils = [Image.open(p).convert("RGB") for p in paths]
+        arrs = np.stack([image_to_array(pil) for pil in self.pils])
+        # legacy single-image attributes
+        self.image_path, self.country = paths[0], self.countries_of[0]
+        self.pre_head, self.pil, self.arr = self.pre_heads[0], self.pils[0], arrs[0]
         self.pnp = PNP(sd, inversion_steps=inversion_steps, n_timesteps=n_timesteps)
-        self.pnp.invert(self.arr, inversion_prompt="")
+        self.pnp.invert(arrs, inversion_prompt="")
 
     def plotum(self, dir_path: str, countries: Sequence[str], batch_size: int = 10,
                format_text: Callable[[str], str] = "{}".format) -> None:
         os.makedirs(dir_path, exist_ok=True)
-        self.pil.save(join(dir_path, f"gt--{self.country}_{self.pre_head}"))
-        self.pnp.reconstruct().save(join(dir_path, f"inverted--{self.country}_{self.pre_head}"))
-        for i in range(0, len(countries), batch_size):
-            batch = list(countries[i : i + batch_size])
-            images = self.pnp.generate([format_text(c) for c in batch])
-            for c, image in zip(batch, images):
-                name = f"projected--{c}_{self.pre_head}" if c == self.country else f"{c}_{self.pre_head}"
-                image.save(join(dir_path, name))
+        inverted = self.pnp.reconstruct_many()  # one B=S chain for the group
+        for s, (country, pre_head) in enumerate(zip(self.countries_of, self.pre_heads)):
+            self.pils[s].save(join(dir_path, f"gt--{country}_{pre_head}"))
+            inverted[s].save(join(dir_path, f"inverted--{country}_{pre_head}"))
+            for i in range(0, len(countries), batch_size):
+                batch = list(countries[i : i + batch_size])
+                images = self.pnp.generate([format_text(c) for c in batch], source=s)
+                for c, image in zip(batch, images):
+                    name = f"projected--{c}_{pre_head}" if c == country else f"{c}_{pre_head}"
+                    image.save(join(dir_path, name))
 
 
 COUNTRIES = [
@@ -236,14 +279,19 @@ def main(argv=None):
     p.add_argument("--model_path", type=str, default="models/export")
     p.add_argument("--base_path", type=str, default="dataset/base")
     p.add_argument("--inversion_steps", type=int, default=999)
+    p.add_argument(
+        "--batch_sources", type=int, default=4,
+        help="invert/reconstruct this many source images per B=S scan "
+        "(same-shape groups; 1 = the reference's one-image-at-a-time flow)",
+    )
     args = p.parse_args(argv)
 
     sd = SD.from_pipeline_dir("geo", args.model_path, [])
     for country in COUNTRIES[args.idx_start : args.idx_start + 1]:
         path = join(args.base_path, country)
+        dir_path = join(args.save_dir, country)
+        pending = []
         for fname in sorted(os.listdir(path))[args.k_start : args.k_end]:
-            image_path = join(path, fname)
-            dir_path = join(args.save_dir, country)
             pre_head = "_".join(fname.split("_")[1:])
             expected = [
                 join(dir_path, f"inverted--{country}_{pre_head}"),
@@ -254,8 +302,21 @@ def main(argv=None):
             ]
             if all(os.path.isfile(pp) for pp in expected):
                 continue  # idempotent work queue (reference pnp.py:655-669)
-            g = Generator(sd, image_path, inversion_steps=args.inversion_steps)
+            pending.append(join(path, fname))
+        i = 0
+        while i < len(pending):
+            # group same-shape sources so the stack batches into one scan
+            shape0 = Image.open(pending[i]).size
+            group = [pending[i]]
+            while (
+                len(group) < max(args.batch_sources, 1)
+                and i + len(group) < len(pending)
+                and Image.open(pending[i + len(group)]).size == shape0
+            ):
+                group.append(pending[i + len(group)])
+            g = Generator(sd, group, inversion_steps=args.inversion_steps)
             g.plotum(dir_path, COUNTRIES, batch_size=args.batch_size)
+            i += len(group)
 
 
 if __name__ == "__main__":

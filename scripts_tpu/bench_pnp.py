@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--targets", type=int, default=10)
     ap.add_argument("--inv_steps", type=int, default=999)
     ap.add_argument("--n_timesteps", type=int, default=50)
+    ap.add_argument(
+        "--batch_sources", type=int, default=4,
+        help="also time a B=S batched inversion+reconstruct (the product's "
+        "--batch_sources path); 0 skips it",
+    )
     args = ap.parse_args()
 
     from diffmining_tpu.applications.pnp import PNP
@@ -79,6 +84,24 @@ def main():
     )
     total = inv_s + gen_s
     print(f"per source image (invert + {args.targets} translations): {total:.2f} s")
+
+    if args.batch_sources > 1:
+        S = args.batch_sources
+        imgs_b = (rng.rand(S, args.px, args.px, 3).astype(np.float32) * 2 - 1)
+        t0 = time.perf_counter()
+        pnp.invert(imgs_b)  # new B=S program: includes compile
+        sync()
+        cb = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pnp.invert(imgs_b)
+        sync()
+        inv_b = time.perf_counter() - t0
+        print(
+            f"batched inversion S={S}: {inv_b:.2f} s = {inv_b / S:.2f} s/source "
+            f"(vs {inv_s:.2f} unbatched; first incl. compile {cb:.1f} s)"
+        )
+        total_b = inv_b / S + gen_s
+        print(f"per source at --batch_sources {S}: {total_b:.2f} s")
 
 
 if __name__ == "__main__":

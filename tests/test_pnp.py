@@ -55,6 +55,56 @@ def test_reconstruct(pnp):
     assert rec.size == (32, 32)
 
 
+def test_batched_inversion_matches_single(sd):
+    """invert() on a [S,H,W,3] stack must equal S independent inversions —
+    batching only widens the batch axis (the product's --batch_sources path)."""
+    rng = np.random.RandomState(3)
+    imgs = rng.rand(3, 32, 32, 3).astype(np.float32) * 2 - 1
+    batched = PNP(sd, inversion_steps=5, n_timesteps=4)
+    batched.invert(imgs)
+    assert batched.num_sources() == 3
+    recs = batched.reconstruct_many()
+    assert len(recs) == 3
+    for s in range(3):
+        single = PNP(sd, inversion_steps=5, n_timesteps=4)
+        single.invert(imgs[s])
+        np.testing.assert_allclose(
+            np.asarray(batched._trajectory[:, s], np.float32),
+            np.asarray(single._trajectory[:, 0], np.float32),
+            rtol=1e-4, atol=1e-5,
+        )
+        # per-source translation from the batch == translation from the single
+        a = batched.generate(["Japan"], source=s)[0]
+        b = single.generate(["Japan"])[0]
+        assert np.abs(np.asarray(a, np.int16) - np.asarray(b, np.int16)).max() <= 1
+        # per-source reconstruct slices out of the batch
+        r = batched.reconstruct(source=s)
+        np.testing.assert_allclose(
+            np.asarray(r, np.int16), np.asarray(recs[s], np.int16), atol=1
+        )
+
+
+def test_generator_batched_sources(sd, tmp_path):
+    """A Generator over a same-shape group writes every source's files."""
+    src_dir = tmp_path / "base" / "France"
+    os.makedirs(src_dir)
+    rng = np.random.RandomState(2)
+    paths = []
+    for i in range(2):
+        p = str(src_dir / f"id_00{i}_0.jpg")
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+    g = Generator(sd, paths, inversion_steps=4, n_timesteps=2)
+    out = str(tmp_path / "out" / "France")
+    g.plotum(out, ["France", "Japan"], batch_size=2)
+    files = sorted(os.listdir(out))
+    for i in range(2):
+        assert f"gt--France_00{i}_0.jpg" in files
+        assert f"inverted--France_00{i}_0.jpg" in files
+        assert f"projected--France_00{i}_0.jpg" in files
+        assert f"Japan_00{i}_0.jpg" in files
+
+
 def test_generator_file_protocol(sd, tmp_path):
     src_dir = tmp_path / "base" / "France"
     os.makedirs(src_dir)
