@@ -62,13 +62,21 @@ class PNP:
     `generate(target_prompts)` repeatedly (reference Generator/PNP classes)."""
 
     def __init__(self, sd: SD, inversion_steps: int = 999, n_timesteps: int = 50,
-                 guidance_scale: float = 7.5, pnp_attn_t: float = 0.5, pnp_f_t: float = 0.8):
+                 guidance_scale: float = 7.5, pnp_attn_t: float = 0.5, pnp_f_t: float = 0.8,
+                 dedup_prefix: bool | None = None):
         self.sd = sd
         self.inversion_steps = inversion_steps
         self.n_timesteps = n_timesteps
         self.guidance_scale = guidance_scale
         self.pnp_attn_t = pnp_attn_t
         self.pnp_f_t = pnp_f_t
+        if dedup_prefix is None:
+            # the CFG pass feeds IDENTICAL latents to its uncond and cond
+            # halves, so the sweep's ctx_tile prefix dedup applies here too
+            # (PnP taps are batch-1 and broadcast, so injection composes);
+            # DIFFMINING_PNP_DEDUP=0 reverts to the up-front 2B tile
+            dedup_prefix = os.environ.get("DIFFMINING_PNP_DEDUP", "1") != "0"
+        self.dedup_prefix = bool(dedup_prefix)
         self._eps_fn = jax.jit(lambda p, x, t, c: sd.unet.apply(p, x.astype(sd.dtype), t, c.astype(sd.dtype)))
         self._invert = jax.jit(
             lambda p, lat, ctx: ddim_inversion(self._eps_fn, p, sd.schedule, lat, ctx, num_steps=inversion_steps)
@@ -175,10 +183,22 @@ class PNP:
         attn_gate = steps < int(n_steps * self.pnp_attn_t)
         res_keys, attn_keys = _res_keys(), _attn_keys()
         gs = self.guidance_scale
+        dedup = self.dedup_prefix
 
         @jax.jit
-        def run(params, vae_params, x0, traj, ctx, src_ctx):
+        def run(params, vae_params, x0, traj, cond, uncond1):
             T_traj = traj.shape[0]
+            uncond_b = jnp.broadcast_to(uncond1, cond.shape)
+            if dedup:
+                # conditions-adjacent layout for ctx_tile: entry i -> rows
+                # (2i)=uncond_i, (2i+1)=cond_i; the condition-independent
+                # prefix of the CFG pass (conv_in, first resnet, the largest
+                # L=H*W self-attention) then runs at B instead of 2B
+                ctx = jnp.stack([uncond_b, cond], axis=1).reshape(
+                    2 * cond.shape[0], *cond.shape[1:]
+                )
+            else:
+                ctx = jnp.concatenate([uncond_b, cond], axis=0)  # [2B, 77, D]
 
             def body(x, step):
                 t, t_prev, rg, ag = step
@@ -188,17 +208,24 @@ class PNP:
                 out = sd.unet.apply(
                     params, src_lat.astype(sd.dtype),
                     jnp.broadcast_to(t, (src_lat.shape[0],)),
-                    src_ctx.astype(sd.dtype), collect_injection=True,
+                    uncond1.astype(sd.dtype), collect_injection=True,
                 )
                 taps = out["taps"]
                 # filter statically: small/tiny UNet configs have fewer
                 # blocks than the SD-scale injection tables name
                 inj = {k: (taps[k], rg) for k in res_keys if k in taps}
                 inj.update({k: (taps[k], ag) for k in attn_keys if k in taps})
-                xx = jnp.concatenate([x, x], axis=0)
-                tb = jnp.broadcast_to(t, (xx.shape[0],))
-                eps = sd.unet.apply(params, xx, tb, ctx.astype(sd.dtype), injection=inj)
-                eps_u, eps_c = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+                if dedup:
+                    tb = jnp.broadcast_to(t, (x.shape[0],))
+                    eps = sd.unet.apply(
+                        params, x, tb, ctx.astype(sd.dtype), injection=inj, ctx_tile=2,
+                    ).astype(jnp.float32)
+                    eps_u, eps_c = eps[0::2], eps[1::2]
+                else:
+                    xx = jnp.concatenate([x, x], axis=0)
+                    tb = jnp.broadcast_to(t, (xx.shape[0],))
+                    eps = sd.unet.apply(params, xx, tb, ctx.astype(sd.dtype), injection=inj)
+                    eps_u, eps_c = jnp.split(eps.astype(jnp.float32), 2, axis=0)
                 eps_g = eps_u + gs * (eps_c - eps_u)
                 return ddim_step(sd.schedule, x, eps_g.astype(x.dtype), t, t_prev), None
 
@@ -216,13 +243,11 @@ class PNP:
         sd = self.sd
         B = len(target_prompts)
         cond = self.embed(list(target_prompts))
-        uncond = jnp.broadcast_to(self.embed([uncond_prompt]), cond.shape)
-        ctx = jnp.concatenate([uncond, cond], axis=0)  # [2B, 77, D]
         src_lat = self._source_latent[source : source + 1]
         traj = self._trajectory[:, source : source + 1]
         x0 = jnp.concatenate([src_lat] * B, axis=0).astype(sd.dtype)
         run = self._translate_fn(B)
-        imgs = run(sd.unet_params, sd.vae_params, x0, traj, ctx, self.embed([uncond_prompt]))
+        imgs = run(sd.unet_params, sd.vae_params, x0, traj, cond, self.embed([uncond_prompt]))
         return [array_to_image(np.asarray(imgs[b], np.float32)) for b in range(B)]
 
 

@@ -418,10 +418,21 @@ class UNet2DCondition(nn.Module):
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
         collect: Optional[Dict[str, jax.Array]] = {} if collect_injection else None
         if ctx_tile > 1:
-            assert injection is None and not collect_injection, (
-                "ctx_tile is a sweep-only optimization; PnP taps see a "
-                "different batch layout"
+            assert not collect_injection, (
+                "tap collection sees the pre-tile batch layout; collect with "
+                "ctx_tile=1"
             )
+            if injection is not None:
+                # batch-1 values broadcast to whatever batch the site runs at,
+                # so they are layout-independent: injecting identical pre-tile
+                # rows then tiling == tiling then injecting. Anything wider
+                # would bake in a row order the tile changes.
+                for k, v in injection.items():
+                    val = v[0] if isinstance(v, tuple) else v
+                    assert val.shape[0] == 1, (
+                        f"injection[{k!r}] has batch {val.shape[0]}; with "
+                        "ctx_tile>1 only batch-1 values compose safely"
+                    )
         # remat only applies on the plain eps path (taps/injection change the
         # block signatures and are inference-only anyway)
         use_remat = (

@@ -55,6 +55,19 @@ def test_reconstruct(pnp):
     assert rec.size == (32, 32)
 
 
+def test_cfg_prefix_dedup_matches_tiled(pnp):
+    """The ctx_tile=2 CFG pass (default) must equal the up-front [x;x] tile —
+    taps are batch-1 so injection broadcasts identically in both layouts."""
+    p, _ = pnp
+    assert p.dedup_prefix  # default ON
+    a = p.generate(["France", "Japan"])
+    off = PNP(p.sd, inversion_steps=6, n_timesteps=4, dedup_prefix=False)
+    off._trajectory, off._source_latent = p._trajectory, p._source_latent
+    b = off.generate(["France", "Japan"])
+    for x, y in zip(a, b):
+        assert np.abs(np.asarray(x, np.int16) - np.asarray(y, np.int16)).max() <= 1
+
+
 def test_batched_inversion_matches_single(sd):
     """invert() on a [S,H,W,3] stack must equal S independent inversions —
     batching only widens the batch axis (the product's --batch_sources path)."""
