@@ -195,6 +195,7 @@ class BaseTrainer:
         self.global_step = 0
         self.first_epoch = 0
         self.resume_step = 0
+        self._ckptr = None  # persistent async orbax checkpointer
 
     # ------------------------------------------------------------------
     # checkpoints (orbax)
@@ -203,25 +204,39 @@ class BaseTrainer:
     def _ckpt_dir(self, step: int) -> str:
         return join(self.args.output_dir, f"checkpoint-{step}")
 
-    def save_checkpoint(self, step: int):
+    def save_checkpoint(self, step: int, wait: bool = False):
+        """Asynchronous orbax save: `save()` blocks only for the device→host
+        copy (safe with the donated train state — orbax's async contract) and
+        the ~multi-GB serialize+write runs behind the next train steps. At
+        most one save is in flight; the end-of-training call passes wait=True
+        so the trainer returns with everything durable."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(self._ckpt_dir(step))
+        if self._ckptr is None:
+            self._ckptr = ocp.StandardCheckpointer()
+        else:
+            self._ckptr.wait_until_finished()  # one in-flight save at a time
         if os.path.isdir(join(path, "state")):
             return  # already saved at this step (end-of-training re-save)
-        with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(join(path, "state"), self.state)
-        logger.info("Saved state to %s", path)
         limit = self.args.checkpoints_total_limit
         if limit:
+            # prune COMPLETED checkpoints down to limit-1 before dispatching
+            # the new async save (its dir only materializes at finalize, so
+            # pruning never races an unfinished write)
             ckpts = sorted(
                 (d for d in os.listdir(self.args.output_dir) if re.match(r"checkpoint-\d+$", d)),
                 key=lambda d: int(d.split("-")[1]),
             )
-            for d in ckpts[:-limit]:
+            keep = max(limit - 1, 0)
+            for d in ckpts[: len(ckpts) - keep if keep else len(ckpts)]:
                 import shutil
 
                 shutil.rmtree(join(self.args.output_dir, d))
+        self._ckptr.save(join(path, "state"), self.state)
+        logger.info("Saving state to %s (async)", path)
+        if wait:
+            self._ckptr.wait_until_finished()
 
     def resume_training(self, params_only: bool = False):
         args = self.args
@@ -295,6 +310,10 @@ class BaseTrainer:
 
     def end_training(self):
         args = self.args
+        if getattr(self, "_ckptr", None) is not None:
+            self._ckptr.wait_until_finished()
+            self._ckptr.close()
+            self._ckptr = None
         export_dir = args.export_dir or join(args.output_dir, "export")
         params = self.builder.dense_params(self.state, use_ema=args.use_ema)
         save_pipeline_dir(
@@ -376,5 +395,5 @@ class BaseTrainer:
         metrics.close()
         if args.log_previews:
             self.save_logs(self.sample())
-        self.save_checkpoint(self.global_step)
+        self.save_checkpoint(self.global_step, wait=True)
         return self.end_training()

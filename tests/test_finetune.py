@@ -107,6 +107,24 @@ def test_trainer_end_to_end(sd, ftt_data, tmp_path_factory):
     assert np.isfinite(np.asarray(a, dtype=np.float32)).all()
 
 
+def test_async_checkpoint_pruning(sd, ftt_data, tmp_path_factory):
+    """Async saves + total_limit: after train() every surviving checkpoint is
+    finalized (orbax atomic rename) and the limit counts the newest save."""
+    out = str(tmp_path_factory.mktemp("prune"))
+    tr = make_trainer(
+        sd, ftt_data, out,
+        extra=("--checkpointing_steps", "1", "--checkpoints_total_limit", "2"),
+    )
+    tr.train()
+    ckpts = sorted(d for d in os.listdir(out) if d.startswith("checkpoint-"))
+    assert ckpts == ["checkpoint-2", "checkpoint-3"]
+    # the async writes are durable + restorable once train() returns
+    tr2 = make_trainer(sd, ftt_data, out, extra=("--resume_from_checkpoint", "latest"))
+    tr2.training_init()
+    tr2.resume_training()
+    assert int(tr2.state.step) == 3
+
+
 def test_export_only_path(sd, ftt_data, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("run2"))
     tr = make_trainer(sd, ftt_data, out)
