@@ -121,13 +121,13 @@ class PNP:
         assert self._source_latent is not None, "call invert() first"
         return int(self._source_latent.shape[0])
 
-    def reconstruct_many(self) -> List[Image.Image]:
+    def reconstruct_many(self, source_latent=None) -> List[Image.Image]:
         """Sample every inverted source back down from its endpoint with the
         inversion prompt, in ONE B=S chain (reference 'inverted--' image,
         pnp.py:214-216)."""
         assert self._source_latent is not None
         # plain DDIM chain back down all inversion steps (no CFG)
-        x = self._source_latent
+        x = self._source_latent if source_latent is None else source_latent
         S = x.shape[0]
         ctx1 = self.embed([""])
         ctx = jnp.broadcast_to(ctx1, (S,) + ctx1.shape[1:])
@@ -146,16 +146,11 @@ class PNP:
         return [array_to_image(np.asarray(img[s], np.float32)) for s in range(S)]
 
     def reconstruct(self, source: int = 0) -> Image.Image:
-        assert self._source_latent is not None
-        if self._source_latent.shape[0] == 1:
-            return self.reconstruct_many()[0]
-        # single-source decode without re-running the other chains
-        saved_lat, saved_traj = self._source_latent, self._trajectory
-        try:
-            self._source_latent = saved_lat[source : source + 1]
-            return self.reconstruct_many()[0]
-        finally:
-            self._source_latent, self._trajectory = saved_lat, saved_traj
+        assert 0 <= source < self.num_sources(), (
+            f"source={source} out of range (have {self.num_sources()} inverted sources)"
+        )
+        # single-source chain without re-running the others
+        return self.reconstruct_many(self._source_latent[source : source + 1])[0]
 
     # ------------------------------------------------------------------
 
@@ -240,6 +235,9 @@ class PNP:
                  source: int = 0) -> List[Image.Image]:
         """Translate inverted source `source` to each target prompt."""
         assert self._trajectory is not None, "call invert() first"
+        assert 0 <= source < self.num_sources(), (
+            f"source={source} out of range (have {self.num_sources()} inverted sources)"
+        )
         sd = self.sd
         B = len(target_prompts)
         cond = self.embed(list(target_prompts))

@@ -204,12 +204,34 @@ class BaseTrainer:
     def _ckpt_dir(self, step: int) -> str:
         return join(self.args.output_dir, f"checkpoint-{step}")
 
+    def _prune_checkpoints(self, limit):
+        """Delete crashed partial writes (a checkpoint-N/ without a finalized
+        state/ — orbax renames at finalize, so these are dead tmp dirs) and,
+        with a limit, all but the newest `limit` COMPLETE checkpoints. Only
+        called with no save in flight, so nothing here races a writer."""
+        import shutil
+
+        out = self.args.output_dir
+        entries = sorted(
+            (d for d in os.listdir(out) if re.match(r"checkpoint-\d+$", d)),
+            key=lambda d: int(d.split("-")[1]),
+        )
+        complete = [d for d in entries if os.path.isdir(join(out, d, "state"))]
+        drop = [d for d in entries if d not in complete]
+        if limit:
+            drop += complete[:-limit]
+        for d in drop:
+            shutil.rmtree(join(out, d))
+
     def save_checkpoint(self, step: int, wait: bool = False):
         """Asynchronous orbax save: `save()` blocks only for the device→host
         copy (safe with the donated train state — orbax's async contract) and
         the ~multi-GB serialize+write runs behind the next train steps. At
         most one save is in flight; the end-of-training call passes wait=True
-        so the trainer returns with everything durable."""
+        so the trainer returns with everything durable. Pruning counts only
+        FINALIZED checkpoints and runs while none is in flight, so a durable
+        checkpoint always survives a crash mid-write (with limit=1 the
+        previous checkpoint is kept until the new one has finalized)."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(self._ckpt_dir(step))
@@ -217,26 +239,18 @@ class BaseTrainer:
             self._ckptr = ocp.StandardCheckpointer()
         else:
             self._ckptr.wait_until_finished()  # one in-flight save at a time
-        if os.path.isdir(join(path, "state")):
-            return  # already saved at this step (end-of-training re-save)
         limit = self.args.checkpoints_total_limit
-        if limit:
-            # prune COMPLETED checkpoints down to limit-1 before dispatching
-            # the new async save (its dir only materializes at finalize, so
-            # pruning never races an unfinished write)
-            ckpts = sorted(
-                (d for d in os.listdir(self.args.output_dir) if re.match(r"checkpoint-\d+$", d)),
-                key=lambda d: int(d.split("-")[1]),
-            )
-            keep = max(limit - 1, 0)
-            for d in ckpts[: len(ckpts) - keep if keep else len(ckpts)]:
-                import shutil
-
-                shutil.rmtree(join(self.args.output_dir, d))
+        if os.path.isdir(join(path, "state")):
+            # already saved at this step (end-of-training re-save)
+            if wait:
+                self._prune_checkpoints(limit)
+            return
+        self._prune_checkpoints(limit)
         self._ckptr.save(join(path, "state"), self.state)
         logger.info("Saving state to %s (async)", path)
         if wait:
             self._ckptr.wait_until_finished()
+            self._prune_checkpoints(limit)
 
     def resume_training(self, params_only: bool = False):
         args = self.args
@@ -247,7 +261,14 @@ class BaseTrainer:
             if not os.path.isdir(path):
                 path = join(args.output_dir, os.path.basename(path))
         else:
-            dirs = [d for d in os.listdir(args.output_dir) if d.startswith("checkpoint")]
+            # only FINALIZED checkpoints qualify — a crash mid-async-write
+            # leaves checkpoint-N/ holding just an orbax tmp dir, and "latest"
+            # must fall back to the newest complete one
+            dirs = [
+                d for d in os.listdir(args.output_dir)
+                if d.startswith("checkpoint")
+                and os.path.isdir(join(args.output_dir, d, "state"))
+            ]
             dirs = sorted(dirs, key=lambda x: int(x.split("-")[1]))
             path = join(args.output_dir, dirs[-1]) if dirs else None
         if path is None or not os.path.isdir(path):

@@ -42,7 +42,8 @@ def main():
     ap.add_argument(
         "--batch_sources", type=int, default=4,
         help="also time a B=S batched inversion+reconstruct (the product's "
-        "--batch_sources path); 0 skips it",
+        "--batch_sources path); values < 2 skip it (S=1 equals the unbatched "
+        "timing above)",
     )
     args = ap.parse_args()
 

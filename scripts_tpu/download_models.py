@@ -65,7 +65,9 @@ def main(argv=None) -> None:
             download_cardb(args.out)
         for name in (MODEL_REPOS if args.models is None else args.models):
             download_model(name, args.out, convert=not args.no_convert)
-    except ImportError:
+    except ImportError as e:
+        if e.name != "huggingface_hub":
+            raise  # a missing dep in the convert chain is a different problem
         raise SystemExit(
             "huggingface_hub is not installed (air-gapped machine?). Copy a "
             "diffusers checkpoint over and run scripts_tpu/convert_models.py "

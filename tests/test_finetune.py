@@ -124,6 +124,22 @@ def test_async_checkpoint_pruning(sd, ftt_data, tmp_path_factory):
     tr2.resume_training()
     assert int(tr2.state.step) == 3
 
+    # a crash mid-async-write leaves checkpoint-N/ holding only an orbax tmp
+    # dir; resume-latest must fall back past it, and the next save must
+    # garbage-collect it instead of counting it toward the limit
+    os.makedirs(join(out, "checkpoint-9", "state.orbax-checkpoint-tmp-1"))
+    tr3 = make_trainer(
+        sd, ftt_data, out,
+        extra=("--resume_from_checkpoint", "latest", "--checkpoints_total_limit", "2"),
+    )
+    tr3.training_init()
+    tr3.resume_training()
+    assert int(tr3.state.step) == 3  # not the garbage checkpoint-9
+    tr3.save_checkpoint(4, wait=True)
+    ckpts = sorted(d for d in os.listdir(out) if d.startswith("checkpoint-"))
+    assert ckpts == ["checkpoint-3", "checkpoint-4"]  # 9's carcass collected
+    tr3._ckptr.close()
+
 
 def test_export_only_path(sd, ftt_data, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("run2"))
