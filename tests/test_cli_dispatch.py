@@ -29,6 +29,38 @@ def test_cli_help():
     assert "typicality" in out.stdout and "doersch" in out.stdout
 
 
+@pytest.mark.parametrize("cmd,mod", [
+    ("typicality", "diffmining_tpu.typicality.compute"),
+    ("cluster", "diffmining_tpu.typicality.cluster"),
+    ("pnp", "diffmining_tpu.applications.pnp"),
+    ("parallel", "diffmining_tpu.applications.parallel"),
+    ("xray", "diffmining_tpu.applications.xray"),
+    ("doersch", "diffmining_tpu.baselines.doersch"),
+    ("clipmining", "diffmining_tpu.baselines.clipmining"),
+    ("fidelity", "diffmining_tpu.utils.fidelity"),
+])
+def test_subcommand_help_exits_clean(cmd, mod, capsys):
+    """Every subcommand's --help must print usage and exit 0 (in-process:
+    argparse raises SystemExit(0) — guards argparse wiring regressions
+    without paying 11 subprocess interpreter startups)."""
+    m = importlib.import_module(mod)
+    with pytest.raises(SystemExit) as e:
+        m.main(["--help"])
+    assert e.value.code in (0, None)
+    assert "usage" in capsys.readouterr().out.lower()
+
+
+def test_html_help_is_dispatcher_level(monkeypatch):
+    """`html` takes positionals (reference make-html.py argv order); its
+    --help is answered by the dispatcher's usage line."""
+    from diffmining_tpu.__main__ import main as dispatch
+
+    monkeypatch.setattr(sys, "argv", ["diffmining_tpu", "html", "--help"])
+    with pytest.raises(SystemExit) as e:
+        dispatch()
+    assert "usage: html" in str(e.value)
+
+
 def test_cli_unknown_command():
     out = subprocess.run(
         [sys.executable, "-m", "diffmining_tpu", "nope"],
