@@ -69,6 +69,7 @@ class CLIPRankCluster:
         text_params=None,
         tokenizer: Optional[CLIPTokenizer] = None,
         crop: Optional[int] = None,
+        batch_images: int = 8,
     ):
         assert mode in ("diff", "sim")
         self.mode = mode
@@ -83,6 +84,23 @@ class CLIPRankCluster:
         self.tokenizer = tokenizer if tokenizer is not None else tiny_tokenizer(
             self.text.config.vocab_size
         )
+        self.batch_images = max(int(batch_images), 1)
+        if self.vision_params is None or self.text_params is None:
+            # no weights supplied: random towers keep the pipeline runnable
+            # (smoke/demo), but the mining output is meaningless — say so
+            # loudly instead of crashing on a None tree at first encode
+            print(
+                "clipmining: no CLIP weights supplied — towers are RANDOMLY "
+                "initialized (smoke/test only); pass --clip_dir for real mining",
+                flush=True,
+            )
+            rng = jax.random.PRNGKey(0)
+            if self.vision_params is None:
+                self.vision_params = self.vision.init(
+                    rng, jnp.zeros((1, self.crop, self.crop, 3))
+                )
+            if self.text_params is None:
+                self.text_params = self.text.init(rng, jnp.zeros((1, 77), jnp.int32))
         self._vis_fn = jax.jit(lambda p, x: self.vision.apply(p, x))
         self._txt_fn = jax.jit(lambda p, ids: self.text.apply(p, ids))
 
@@ -120,10 +138,22 @@ class CLIPRankCluster:
 
     def project_image(self, img: Image.Image) -> Tuple[np.ndarray, int]:
         """-> (patch tokens through visual_projection [P, D], patch grid width)."""
-        x = jnp.asarray(self._preprocess(img))[None]
-        _, tokens = self._vis_fn(self.vision_params, x)
-        pw = img.width // self.vision.config.patch_size
-        return np.asarray(tokens[0], np.float32), pw
+        tokens, pw = self.project_images([img])
+        return tokens[0], pw
+
+    def project_images(self, imgs: Sequence[Image.Image]) -> Tuple[np.ndarray, int]:
+        """Batched tower pass (the reference encodes one image per forward,
+        ranking.py:70-74; same-crop inputs batch trivially and the ViT is
+        all matmuls): -> (tokens [B, P, D], patch grid width). Partial
+        chunks pad to `batch_images` so every call hits ONE compiled shape
+        (same policy as the sweep's _compute_group)."""
+        n = len(imgs)
+        x = np.stack([self._preprocess(im) for im in imgs])
+        if n < self.batch_images:
+            x = np.concatenate([x, np.repeat(x[-1:], self.batch_images - n, axis=0)])
+        _, tokens = self._vis_fn(self.vision_params, jnp.asarray(x))
+        pw = imgs[0].width // self.vision.config.patch_size
+        return np.asarray(tokens[:n], np.float32), pw
 
     def project_text(self, prompts: Sequence[str]) -> np.ndarray:
         ids = jnp.asarray(self.tokenizer(list(prompts)))
@@ -159,15 +189,18 @@ class CLIPRankCluster:
     def rank(self, country: str, k_per_image: int = 5, kx: int = 64, ky: int = 64):
         text_embeds = self.project_text([country, ""])
         rows, embeds = [], []
-        for path in self.get_seeds(country):
-            img = self.load_image(path)
-            tokens, pw = self.project_image(img)
-            pooled, feats = self.score_map(tokens, pw, text_embeds, (img.height, img.width), kx, ky)
-            boxes, scores = top_patches(pooled, kx, ky, k_per_image)
-            for (x0, y0, x1, y1), s in zip(boxes, scores):
-                rows.append((path, x0, y0, x1, y1, float(s)))
-                crop = feats[:, x0:x1, y0:y1].reshape(feats.shape[0], -1).mean(axis=1)
-                embeds.append(crop / max(np.linalg.norm(crop), 1e-12))
+        seeds = self.get_seeds(country)
+        for start in range(0, len(seeds), self.batch_images):
+            chunk = seeds[start : start + self.batch_images]
+            imgs = [self.load_image(p) for p in chunk]
+            tokens_b, pw = self.project_images(imgs)
+            for path, img, tokens in zip(chunk, imgs, tokens_b):
+                pooled, feats = self.score_map(tokens, pw, text_embeds, (img.height, img.width), kx, ky)
+                boxes, scores = top_patches(pooled, kx, ky, k_per_image)
+                for (x0, y0, x1, y1), s in zip(boxes, scores):
+                    rows.append((path, x0, y0, x1, y1, float(s)))
+                    crop = feats[:, x0:x1, y0:y1].reshape(feats.shape[0], -1).mean(axis=1)
+                    embeds.append(crop / max(np.linalg.norm(crop), 1e-12))
         return pd.DataFrame(rows, columns=PATCH_COLUMNS), embeds
 
     # --- clustering (same constants as reference) ---
@@ -235,6 +268,9 @@ def main(argv=None):
                    help="dir with CLIPModel weights (vision+text safetensors + config.json), e.g. converted StreetCLIP")
     p.add_argument("--crop", type=int, default=None,
                    help="input size; defaults to the vision tower's native image_size")
+    p.add_argument("--batch_images", type=int, default=8,
+                   help="images per batched vision-tower pass (the reference "
+                   "encodes one at a time)")
     args = p.parse_args(argv)
     if args.clip_dir:
         from diffmining_tpu.utils.weights import load_clip_dir
@@ -253,10 +289,11 @@ def main(argv=None):
             args.dataset, args.cache, args.mode,
             vision=vision, vision_params={"params": bundle["vision"]["params"]},
             text=text, text_params={"params": bundle["text"]["params"]},
-            tokenizer=tokenizer, crop=args.crop,
+            tokenizer=tokenizer, crop=args.crop, batch_images=args.batch_images,
         )
     else:
-        rc = CLIPRankCluster(args.dataset, args.cache, args.mode, crop=args.crop)
+        rc = CLIPRankCluster(args.dataset, args.cache, args.mode, crop=args.crop,
+                             batch_images=args.batch_images)
     rc.clustering(k_per_image=5, k=1000, num_clusters=32, hard_limit=6)
 
 

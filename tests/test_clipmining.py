@@ -69,6 +69,24 @@ def test_rank_produces_patches(ranker):
     assert (df.x_end - df.x_start == 16).all()
 
 
+def test_batched_encode_matches_single(geo_dataset, ranker, tmp_path_factory):
+    """rank() at the default batch_images=8 (the 2-image chunk pads to the
+    compiled shape) must equal batch_images=1 — batching the vision tower
+    only widens the batch axis."""
+    solo = CLIPRankCluster(
+        geo_dataset, str(tmp_path_factory.mktemp("c1")), "diff",
+        vision=ranker.vision, vision_params=ranker.vision_params,
+        text=ranker.text, text_params=ranker.text_params,
+        tokenizer=ranker.tokenizer, crop=64, batch_images=1,
+    )
+    df_b, emb_b = ranker.rank("France", k_per_image=2, kx=16, ky=16)
+    df_s, emb_s = solo.rank("France", k_per_image=2, kx=16, ky=16)
+    assert df_b.drop(columns=["D"]).equals(df_s.drop(columns=["D"]))
+    np.testing.assert_allclose(df_b["D"].to_numpy(), df_s["D"].to_numpy(), rtol=1e-4, atol=1e-5)
+    for a, b in zip(emb_b, emb_s):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_clustering_end_to_end(ranker):
     # monkey-lite: use small kx via rank defaults by calling clustering with
     # patched defaults through instance attributes is overkill — call pieces
