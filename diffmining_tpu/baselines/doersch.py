@@ -135,6 +135,35 @@ def make_bbox(i: int, dims: Tuple[int, int]) -> Tuple[int, int]:
     return int(a) * 8, int(b) * 8
 
 
+def _prefetch_shards(shard_paths: Sequence[str]):
+    """Yield (path_id, tensors) with a one-deep background loader: shard N+1
+    reads from disk while shard N's dense-search matmuls run on the device
+    (the search previously idled through every load_file)."""
+    import queue as _queue
+    import threading
+
+    from safetensors.numpy import load_file
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=1)
+
+    def producer():
+        try:
+            for path_id, sp in enumerate(shard_paths):
+                q.put((path_id, load_file(sp)))
+            q.put(None)
+        except BaseException as e:  # surface loader errors in the consumer
+            q.put(e)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def dense_search(
     ws: np.ndarray,
     shard_paths: Sequence[str],
@@ -149,8 +178,6 @@ def dense_search(
     random subset of grid positions per shard). With a mesh, the detector axis
     shards over "dp" — the multi-chip replacement for the reference's
     file-lock GPU pool (doersch.py:81-103)."""
-    from safetensors.numpy import load_file
-
     K = ws.shape[0]
     ws_j = jnp.asarray(ws.astype(np.float32))
     pad = 0
@@ -166,8 +193,7 @@ def dense_search(
         ws_j = jax.device_put(ws_j, NamedSharding(mesh, P("dp")))
     heaps: List[List[tuple]] = [[] for _ in range(K)]
     counter = 0
-    for path_id, sp in enumerate(shard_paths):
-        tensors = load_file(sp)
+    for path_id, tensors in _prefetch_shards(shard_paths):
         for key, data in tensors.items():
             paths = key.split(";;")
             B, W, H, C = data.shape
