@@ -25,6 +25,7 @@ run env DIFFMINING_SWEEP_DEDUP=0 python bench.py --e2e
 run python scripts_tpu/bench_dift.py
 run python scripts_tpu/bench_pnp.py --batch_sources 4
 run env DIFFMINING_PNP_DEDUP=0 python scripts_tpu/bench_pnp.py --batch_sources 0
+run python scripts_tpu/bench_clipmining.py
 # optional: op-level re-profile for the MFU ledger (fresh compile, ~30 min)
 [ "${PROFILE:-0}" = "1" ] && run python scripts_tpu/profile_unet.py
 echo "done: results in $OUT"
