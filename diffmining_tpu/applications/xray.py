@@ -227,6 +227,7 @@ def compare_json_files(json_pt: str, json_ft: str) -> Dict[str, float]:
         data_ft = json.load(f)
     out = {}
     print("AUC\n----------")
+    rows = []
     for k, vs in data_pt.items():
         ft_vals = [data_ft[k][kp] for kp in vs]
         pt_vals = [data_pt[k][kp] for kp in vs]
@@ -234,6 +235,41 @@ def compare_json_files(json_pt: str, json_ft: str) -> Dict[str, float]:
         print("pt", k, np.mean(pt_vals), "±", np.std(pt_vals))
         out[k] = float(np.mean([f - p for f, p in zip(ft_vals, pt_vals)]))
         print(k, out[k])
+        rows += [{"model": "pt", "disease": k, "score": v} for v in pt_vals]
+        rows += [{"model": "ft", "disease": k, "score": v} for v in ft_vals]
+
+    # per-image stripplot (reference compute.py:365-378; upstream writes a
+    # cwd-relative 'comparison2.png' — we keep the name but put it in the ft
+    # output dir so the artifact lands with the run)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import pandas as pd
+        import seaborn as sns
+
+        sns.stripplot(x="disease", y="score", data=pd.DataFrame(rows),
+                      hue="model", jitter=0.2, dodge=True)
+        plt.xlabel("Model")
+        plt.ylabel("Value")
+        plt.title("Comparison of Values between pt and ft")
+        plt.savefig(join(json_ft, "comparison2.png"))
+        plt.close()
+    except ImportError as e:
+        print(f"stripplot skipped ({e})")
+
+    # in-bbox mean-typicality table (reference compute.py:380-389)
+    with open(join(json_pt, "report.json")) as f:
+        rep_pt = json.load(f)
+    with open(join(json_ft, "report.json")) as f:
+        rep_ft = json.load(f)
+    print("Typicality\n----------")
+    for k, vs in rep_pt.items():
+        ft_vals = [rep_ft[k][kp] for kp in vs]
+        pt_vals = [rep_pt[k][kp] for kp in vs]
+        print("ft", k, np.mean(ft_vals), "±", np.std(ft_vals))
+        print("pt", k, np.mean(pt_vals), "±", np.std(pt_vals))
     return out
 
 

@@ -126,6 +126,7 @@ def test_xray_end_to_end(xray_dataset, tmp_path):
     # cached rerun produces identical numbers
     report2, auc2 = x.main()
     assert report == report2 and auc == auc2
-    # compare pt vs ft with itself -> zero improvement
+    # compare pt vs ft with itself -> zero improvement + the stripplot figure
     diff = compare_json_files(out, out)
     assert all(abs(v) < 1e-12 for v in diff.values())
+    assert os.path.isfile(join(out, "comparison2.png"))
