@@ -221,7 +221,8 @@ class CLIPRankCluster:
             ranked.append(([(a, b, c, e) for a, b, c, d, e in vs], float(np.median([v[1] for v in vs]))))
         return sorted(ranked, key=lambda kv: kv[1], reverse=True)
 
-    def clustering(self, k_per_image: int = 5, k: int = 1000, num_clusters: int = 32, hard_limit: int = 6):
+    def clustering(self, k_per_image: int = 5, k: int = 1000, num_clusters: int = 32,
+                   hard_limit: int = 6, kx: int = 64, ky: int = 64):
         cache_path = join(self.cache_path, "dfs")
         figure_dir = join(self.cache_path, "figures")
         os.makedirs(cache_path, exist_ok=True)
@@ -233,7 +234,7 @@ class CLIPRankCluster:
                 with open(fp, "rb") as f:
                     df, embeds = pickle.load(f)
             else:
-                df, embeds = self.rank(country, k_per_image=k_per_image)
+                df, embeds = self.rank(country, k_per_image=k_per_image, kx=kx, ky=ky)
                 with open(fp, "wb") as f:
                     pickle.dump((df, embeds), f)
 

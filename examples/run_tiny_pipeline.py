@@ -1,12 +1,15 @@
-"""End-to-end demo of the full mining pipeline on a synthetic dataset.
+"""End-to-end demo of the full product line on synthetic datasets.
 
-Runs the complete product flow of the reference (finetune -> export ->
-typicality sweep -> patch mining/clustering -> figures/HTML) on the tiny
-random stack, CPU-only, in a few minutes:
+Runs the complete reference flow (finetune -> export -> typicality sweep ->
+patch mining/clustering -> figures/HTML), then the application line (PnP
+translation -> parallel-dataset typicality + cross-country clustering) and
+both baselines (Doersch-2012 HOG/SVM, CLIP patch ranking) on the tiny random
+stack, CPU-only:
 
     python examples/run_tiny_pipeline.py /tmp/diffmine-demo
 
-This is the "minimum end-to-end slice" of SURVEY.md §7 as one executable.
+This is the "minimum end-to-end slice" of SURVEY.md §7 as one executable,
+widened to every product surface.
 """
 from __future__ import annotations
 
@@ -97,6 +100,72 @@ def main(root: str) -> None:
     # 4. HTML report
     html = generate_html(join(root, "figures"), join(root, "html"))
     print("[4] report:", html)
+
+    # 5. Doersch-2012 baseline (HOG+SVM detectors need 64x64 patches, so a
+    #    second 128px mini-dataset)
+    from diffmining_tpu.baselines.doersch import Doersch
+
+    rng = np.random.RandomState(0)
+    ddata = join(root, "doersch_data")
+    for dec, base in [("1930", 40), ("1990", 200)]:
+        os.makedirs(join(ddata, dec), exist_ok=True)
+        for i in range(3):
+            arr = (rng.randint(0, 55, (128, 128, 3)) + base).astype(np.uint8)
+            Image.fromarray(arr).save(join(ddata, dec, f"d{dec}_{i}.jpg"))
+    do = Doersch(join(root, "doersch"), "ftt", ddata, how_many=6, threshold=50)
+    do.get_top("1930", top_k=3, top_elem=3)
+    print("[5] doersch detectors:",
+          [f for f in os.listdir(join(root, "doersch", "ftt", "1930")) if f.startswith("top_")])
+
+    # 6. PnP translation (geo application; batched same-shape sources)
+    from diffmining_tpu.applications.pnp import Generator
+
+    countries = ["France", "Japan"]
+    sdg = SD.init_tiny("geo", countries)
+    gbase = join(root, "geo_base")
+    for c in countries:
+        os.makedirs(join(gbase, c), exist_ok=True)
+        for sid in ("a1", "b2"):
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3)).astype(np.uint8)).save(
+                join(gbase, c, f"{c}__{sid}_0.jpg")
+            )
+    trans = join(root, "translated")
+    for c in countries:
+        paths = [join(gbase, c, f) for f in sorted(os.listdir(join(gbase, c)))]
+        g = Generator(sdg, paths, inversion_steps=4, n_timesteps=2)
+        g.plotum(join(trans, c), countries, batch_size=2)
+    print("[6] pnp translations:", sorted(os.listdir(join(trans, "France"))))
+
+    # 7. parallel-dataset typicality + cross-country clustering
+    from diffmining_tpu.applications.parallel import ParallelCluster, ParallelTypicality
+
+    ptyp = join(root, "ptypicality")
+    pt = ParallelTypicality(None, trans, ptyp, sd=sdg, N=4)
+    for c in countries:
+        pt.D[c].compute_batch([(p, c) for p in pt.get_seeds_(c)])
+    pcl = ParallelCluster(ptyp, trans, join(root, "pcache"), sd=sdg, dift_sd=sdg, kx=8, ky=8)
+    pclusters = pcl.clustering(feature_which="dift-161", k_per_image=2, k=8,
+                               num_clusters=2, num_components=2)
+    pfigs = join(root, "figures_parallel")
+    pcl.make_figure(pfigs, k=8, num_clusters=2, min_im=1, feature_which="dift-161")
+    print("[7] parallel clusters:", [len(members) for members, _d in pclusters])
+
+    # 8. CLIP patch-ranking baseline over the translated tree (tiny towers)
+    from diffmining_tpu.baselines.clipmining import CLIPRankCluster
+    from diffmining_tpu.models.clip import (
+        CLIPTextModelWithProjection, CLIPVisionModel, TINY_CLIP_TEXT, TINY_CLIP_VISION,
+    )
+    from diffmining_tpu.models.tokenizer import tiny_tokenizer
+
+    rc = CLIPRankCluster(
+        trans, join(root, "clip_cache"), "diff",
+        vision=CLIPVisionModel(TINY_CLIP_VISION),
+        text=CLIPTextModelWithProjection(TINY_CLIP_TEXT, projection_dim=16),
+        tokenizer=tiny_tokenizer(TINY_CLIP_TEXT.vocab_size), crop=32, batch_images=2,
+    )
+    rc.clustering(k_per_image=2, k=8, num_clusters=2, hard_limit=4, kx=8, ky=8)
+    print("[8] clip-baseline figures:",
+          sorted(os.listdir(join(root, "clip_cache", "diff", "figures"))))
 
 
 if __name__ == "__main__":
