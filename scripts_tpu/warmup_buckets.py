@@ -33,6 +33,16 @@ def main(argv=None):
         "--native_res", action="store_true",
         help="derive buckets at original resolution (match `typicality --native_res`)",
     )
+    ap.add_argument(
+        "--pnp", action="store_true",
+        help="also warm the PnP programs per bucket (B=S inversion + "
+        "reconstruction + the B-target translation scan) — they cost "
+        "130 s+ of compile each through the remote tunnel",
+    )
+    ap.add_argument("--pnp_inversion_steps", type=int, default=999)
+    ap.add_argument("--pnp_n_timesteps", type=int, default=50)
+    ap.add_argument("--pnp_targets", type=int, default=10)
+    ap.add_argument("--pnp_batch_sources", type=int, default=4)
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -50,6 +60,21 @@ def main(argv=None):
             with Image.open(path) as img:
                 img = rescale_for_domain(img, args.which, args.bucket_size, native=args.native_res)
                 shapes[(img.height, img.width)] += 1
+    if not shapes:
+        # raw {category}/*.jpg tree (e.g. the PnP --base_path) — no gt--
+        # protocol for the domain scanner to find; bucket every image file
+        print("no protocol-matching files; falling back to a plain directory scan")
+        for sub in sorted(os.listdir(args.dataset_path)):
+            d = os.path.join(args.dataset_path, sub)
+            if not os.path.isdir(d):
+                continue
+            for f in sorted(os.listdir(d)):
+                if f.lower().endswith((".jpg", ".jpeg", ".png")):
+                    with Image.open(os.path.join(d, f)) as img:
+                        img = rescale_for_domain(
+                            img, args.which, args.bucket_size, native=args.native_res
+                        )
+                        shapes[(img.height, img.width)] += 1
     print(f"{sum(shapes.values())} images in {len(shapes)} shape bucket(s):")
     for (h, w), n in shapes.most_common():
         print(f"  {h}x{w}: {n}")
@@ -71,6 +96,18 @@ def main(argv=None):
         out = engine.compute(lat, ctx, list(range(args.batch_images)))
         _ = float(jnp.sum(out[:, 0, 0, 0, 0, 0].astype(jnp.float32)))
         print(f"  warmed {h}x{w}")
+
+    if args.pnp:
+        from diffmining_tpu.applications.pnp import PNP
+
+        pnp = PNP(sd, inversion_steps=args.pnp_inversion_steps,
+                  n_timesteps=args.pnp_n_timesteps)
+        for (h, w), _ in shapes.most_common():
+            img = np.zeros((args.pnp_batch_sources, h, w, 3), np.float32)
+            pnp.invert(img)
+            pnp.reconstruct_many()
+            pnp.generate(["warmup"] * args.pnp_targets)
+            print(f"  warmed pnp {h}x{w}")
 
 
 if __name__ == "__main__":
