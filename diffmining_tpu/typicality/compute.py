@@ -627,6 +627,11 @@ def main(argv=None):
         "(multi-chip; complements --sub_split host-level sharding)",
     )
     parser.add_argument("--dont_compute", action="store_false")
+    parser.add_argument(
+        "--profile", type=str, default=None, metavar="DIR",
+        help="write a jax.profiler trace of the sweep to DIR (open in "
+        "TensorBoard / xprof)",
+    )
     parser.add_argument("--countries", nargs="*", default=None)  # accepted for
     # reference CLI parity (compute.py:379 — parsed but unused there too)
     args = parser.parse_args(argv)
@@ -656,7 +661,14 @@ def main(argv=None):
         typ.make_submission(args.target_path, args.submission_path, sub_split=args.sub_split)
     if args.dont_compute:
         assert args.model_path is not None
-        typ.compute_submission(join(args.submission_path, f"{args.split_id}.txt"))
+        sub_file = join(args.submission_path, f"{args.split_id}.txt")
+        if args.profile:
+            from diffmining_tpu.utils.observability import trace
+
+            with trace(args.profile):
+                typ.compute_submission(sub_file)
+        else:
+            typ.compute_submission(sub_file)
 
 
 if __name__ == "__main__":
