@@ -326,15 +326,18 @@ def main(argv=None):
             if all(os.path.isfile(pp) for pp in expected):
                 continue  # idempotent work queue (reference pnp.py:655-669)
             pending.append(join(path, fname))
+        sizes = []
+        for p in pending:
+            with Image.open(p) as im:  # header read only
+                sizes.append(im.size)
         i = 0
         while i < len(pending):
             # group same-shape sources so the stack batches into one scan
-            shape0 = Image.open(pending[i]).size
             group = [pending[i]]
             while (
                 len(group) < max(args.batch_sources, 1)
                 and i + len(group) < len(pending)
-                and Image.open(pending[i + len(group)]).size == shape0
+                and sizes[i + len(group)] == sizes[i]
             ):
                 group.append(pending[i + len(group)])
             g = Generator(sd, group, inversion_steps=args.inversion_steps)
