@@ -229,8 +229,14 @@ def compare_json_files(json_pt: str, json_ft: str) -> Dict[str, float]:
     print("AUC\n----------")
     rows = []
     for k, vs in data_pt.items():
-        ft_vals = [data_ft[k][kp] for kp in vs]
-        pt_vals = [data_pt[k][kp] for kp in vs]
+        # intersect with the ft keys: main() drops empty diseases and the two
+        # runs may cover different image subsets
+        keys = [kp for kp in vs if kp in data_ft.get(k, {})]
+        if not keys:
+            print(f"{k}: no overlapping images between pt and ft — skipped")
+            continue
+        ft_vals = [data_ft[k][kp] for kp in keys]
+        pt_vals = [data_pt[k][kp] for kp in keys]
         print("ft", k, np.mean(ft_vals), "±", np.std(ft_vals))
         print("pt", k, np.mean(pt_vals), "±", np.std(pt_vals))
         out[k] = float(np.mean([f - p for f, p in zip(ft_vals, pt_vals)]))
@@ -241,6 +247,9 @@ def compare_json_files(json_pt: str, json_ft: str) -> Dict[str, float]:
     # per-image stripplot (reference compute.py:365-378; upstream writes a
     # cwd-relative 'comparison2.png' — we keep the name but put it in the ft
     # output dir so the artifact lands with the run)
+    if not rows:
+        print("stripplot skipped (no overlapping scores)")
+        return out
     try:
         import matplotlib
 
@@ -266,8 +275,11 @@ def compare_json_files(json_pt: str, json_ft: str) -> Dict[str, float]:
         rep_ft = json.load(f)
     print("Typicality\n----------")
     for k, vs in rep_pt.items():
-        ft_vals = [rep_ft[k][kp] for kp in vs]
-        pt_vals = [rep_pt[k][kp] for kp in vs]
+        keys = [kp for kp in vs if kp in rep_ft.get(k, {})]
+        if not keys:
+            continue
+        ft_vals = [rep_ft[k][kp] for kp in keys]
+        pt_vals = [rep_pt[k][kp] for kp in keys]
         print("ft", k, np.mean(ft_vals), "±", np.std(ft_vals))
         print("pt", k, np.mean(pt_vals), "±", np.std(pt_vals))
     return out

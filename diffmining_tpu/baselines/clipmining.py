@@ -137,20 +137,25 @@ class CLIPRankCluster:
         return (arr - CLIP_MEAN) / CLIP_STD
 
     def project_image(self, img: Image.Image) -> Tuple[np.ndarray, int]:
-        """-> (patch tokens through visual_projection [P, D], patch grid width)."""
-        tokens, pw = self.project_images([img])
+        """-> (patch tokens through visual_projection [P, D], patch grid
+        width). Runs at B=1 (its own compiled shape) — the public
+        single-image API must not pay the rank loop's pad-to-batch."""
+        tokens, pw = self.project_images([img], pad_to=1)
         return tokens[0], pw
 
-    def project_images(self, imgs: Sequence[Image.Image]) -> Tuple[np.ndarray, int]:
+    def project_images(self, imgs: Sequence[Image.Image], pad_to: Optional[int] = None,
+                       ) -> Tuple[np.ndarray, int]:
         """Batched tower pass (the reference encodes one image per forward,
         ranking.py:70-74; same-crop inputs batch trivially and the ViT is
         all matmuls): -> (tokens [B, P, D], patch grid width). Partial
-        chunks pad to `batch_images` so every call hits ONE compiled shape
-        (same policy as the sweep's _compute_group)."""
+        chunks pad to `pad_to` (default `batch_images`) so the chunked rank
+        loop hits ONE compiled shape (same policy as the sweep's
+        _compute_group)."""
         n = len(imgs)
+        pad_to = self.batch_images if pad_to is None else max(pad_to, 1)
         x = np.stack([self._preprocess(im) for im in imgs])
-        if n < self.batch_images:
-            x = np.concatenate([x, np.repeat(x[-1:], self.batch_images - n, axis=0)])
+        if n < pad_to:
+            x = np.concatenate([x, np.repeat(x[-1:], pad_to - n, axis=0)])
         _, tokens = self._vis_fn(self.vision_params, jnp.asarray(x))
         pw = imgs[0].width // self.vision.config.patch_size
         return np.asarray(tokens[:n], np.float32), pw
@@ -229,7 +234,11 @@ class CLIPRankCluster:
         os.makedirs(figure_dir, exist_ok=True)
         results = {}
         for country in self.categories():
-            fp = join(cache_path, country + ".pkl")
+            # non-default mining params key the cache (a df mined with other
+            # box sizes must not be silently reused); defaults keep the
+            # reference's bare {country}.pkl name
+            tag = "" if (k_per_image, kx, ky) == (5, 64, 64) else f"__{k_per_image}-{kx}-{ky}"
+            fp = join(cache_path, country + tag + ".pkl")
             if os.path.isfile(fp):
                 with open(fp, "rb") as f:
                     df, embeds = pickle.load(f)

@@ -145,23 +145,39 @@ def _prefetch_shards(shard_paths: Sequence[str]):
     from safetensors.numpy import load_file
 
     q: "_queue.Queue" = _queue.Queue(maxsize=1)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put so an abandoned consumer (exception mid-shard, dropped
+        # generator) doesn't leave this thread blocked holding shard arrays
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for path_id, sp in enumerate(shard_paths):
-                q.put((path_id, load_file(sp)))
-            q.put(None)
+                if stop.is_set() or not _put((path_id, load_file(sp))):
+                    return
+            _put(None)
         except BaseException as e:  # surface loader errors in the consumer
-            q.put(e)
+            _put(e)
 
     threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def dense_search(

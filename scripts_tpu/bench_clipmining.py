@@ -39,19 +39,30 @@ def main():
         ))
     rng = jax.random.PRNGKey(0)
     params = vision.init(rng, jnp.zeros((1, args.px, args.px, 3)))
-    fn = jax.jit(lambda p, x: vision.apply(p, x))
+
+    # in-jit fori_loop + one scalar fetch (BENCH_NOTES methodology — host
+    # syncs through the relay are ~200 ms and block_until_ready is a no-op)
+    @jax.jit
+    def loop(p, x):
+        def body(i, x):
+            _, tokens = vision.apply(p, x)
+            feedback = tokens[:, 0, 0].astype(x.dtype)
+            return x * 0.999 + feedback[:, None, None, None] * 1e-6
+
+        x = jax.lax.fori_loop(0, args.iters, body, x)
+        return jnp.float32(x[0, 0, 0, 0])
 
     x = jnp.asarray(np.random.RandomState(0).rand(args.batch, args.px, args.px, 3), jnp.float32)
     t0 = time.perf_counter()
-    out = fn(params, x)
-    jax.block_until_ready(out)
+    _ = float(loop(params, x))
     print(f"first call (incl. compile): {time.perf_counter() - t0:.1f} s")
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = fn(params, x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / args.iters
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(loop(params, x))
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / args.iters
     ips = args.batch / dt
     print(f"B={args.batch} {args.px}px ViT-L: {dt*1e3:.1f} ms/batch = {ips:.1f} images/s")
     print(f"projected encode time for 1k images/country: {1000/ips:.1f} s "

@@ -60,21 +60,25 @@ def main(argv=None):
             with Image.open(path) as img:
                 img = rescale_for_domain(img, args.which, args.bucket_size, native=args.native_res)
                 shapes[(img.height, img.width)] += 1
-    if not shapes:
-        # raw {category}/*.jpg tree (e.g. the PnP --base_path) — no gt--
-        # protocol for the domain scanner to find; bucket every image file
-        print("no protocol-matching files; falling back to a plain directory scan")
-        for sub in sorted(os.listdir(args.dataset_path)):
-            d = os.path.join(args.dataset_path, sub)
+    def iter_plain_images(root):
+        for sub in sorted(os.listdir(root)):
+            d = os.path.join(root, sub)
             if not os.path.isdir(d):
                 continue
             for f in sorted(os.listdir(d)):
                 if f.lower().endswith((".jpg", ".jpeg", ".png")):
-                    with Image.open(os.path.join(d, f)) as img:
-                        img = rescale_for_domain(
-                            img, args.which, args.bucket_size, native=args.native_res
-                        )
-                        shapes[(img.height, img.width)] += 1
+                    yield os.path.join(d, f)
+
+    if not shapes:
+        # raw {category}/*.jpg tree (e.g. the PnP --base_path) — no gt--
+        # protocol for the domain scanner to find; bucket every image file
+        print("no protocol-matching files; falling back to a plain directory scan")
+        for p in iter_plain_images(args.dataset_path):
+            with Image.open(p) as img:
+                img = rescale_for_domain(
+                    img, args.which, args.bucket_size, native=args.native_res
+                )
+                shapes[(img.height, img.width)] += 1
     print(f"{sum(shapes.values())} images in {len(shapes)} shape bucket(s):")
     for (h, w), n in shapes.most_common():
         print(f"  {h}x{w}: {n}")
@@ -100,14 +104,24 @@ def main(argv=None):
     if args.pnp:
         from diffmining_tpu.applications.pnp import PNP
 
+        # PnP feeds RAW image sizes (no domain rescale, no 64-bucketing), so
+        # derive its own shape census; a run over n same-shape pending images
+        # executes groups of S = --batch_sources plus one n%S tail group, and
+        # each group size is its own compiled program — warm both
+        raw = collections.Counter()
+        for p in iter_plain_images(args.dataset_path):
+            with Image.open(p) as img:
+                raw[(img.height, img.width)] += 1
         pnp = PNP(sd, inversion_steps=args.pnp_inversion_steps,
                   n_timesteps=args.pnp_n_timesteps)
-        for (h, w), _ in shapes.most_common():
-            img = np.zeros((args.pnp_batch_sources, h, w, 3), np.float32)
-            pnp.invert(img)
-            pnp.reconstruct_many()
-            pnp.generate(["warmup"] * args.pnp_targets)
-            print(f"  warmed pnp {h}x{w}")
+        S = max(args.pnp_batch_sources, 1)
+        for (h, w), n in raw.most_common():
+            warm = {S, n % S} - {0} if n >= S else {n}
+            for s in sorted(warm):
+                pnp.invert(np.zeros((s, h, w, 3), np.float32))
+                pnp.reconstruct_many()
+                pnp.generate(["warmup"] * args.pnp_targets)
+                print(f"  warmed pnp {h}x{w} S={s}")
 
 
 if __name__ == "__main__":

@@ -50,6 +50,26 @@ def test_subcommand_help_exits_clean(cmd, mod, capsys):
     assert "usage" in capsys.readouterr().out.lower()
 
 
+def test_finetune_help_exits_clean(capsys):
+    """finetune's --help goes through parse_args (the dispatcher strips
+    --which first) — the most convoluted help path, so pin it too."""
+    from diffmining_tpu.finetuning.args import parse_args
+
+    with pytest.raises(SystemExit) as e:
+        parse_args(["--help"])
+    assert e.value.code in (0, None)
+    assert "usage" in capsys.readouterr().out.lower()
+
+
+def test_verify_checkpoint_help_exits_clean(capsys):
+    from diffmining_tpu.utils.verify_checkpoint import main as vmain
+
+    with pytest.raises(SystemExit) as e:
+        vmain(["--help"])
+    assert e.value.code in (0, None)
+    assert "usage" in capsys.readouterr().out.lower()
+
+
 def test_html_help_is_dispatcher_level(monkeypatch):
     """`html` takes positionals (reference make-html.py argv order); its
     --help is answered by the dispatcher's usage line."""
