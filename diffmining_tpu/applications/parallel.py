@@ -50,10 +50,10 @@ class ParallelTypicality(Typicality):
     compute.py:186-263)."""
 
     def __init__(self, model_path, dataset_path, typicality_path, sd=None, N=100,
-                 t_min=0.0, t_max=1.0, batch_images=8):
+                 t_min=0.0, t_max=1.0, batch_images=8, mesh=None):
         super().__init__(
             "geo", model_path, dataset_path, typicality_path, t_min=t_min, t_max=t_max,
-            sd=sd, N=N, batch_images=batch_images,
+            sd=sd, N=N, batch_images=batch_images, mesh=mesh,
         )
 
     def get_seeds_(self, c: str) -> List[str]:
@@ -350,7 +350,8 @@ def main(argv=None):
     )
     p.add_argument(
         "--mesh_dp", type=int, default=None,
-        help="shard the DIFT ensemble axis over a dp-axis device mesh",
+        help="shard the compute stage's sweep batch and the cluster stage's "
+        "DIFT ensemble axis over a dp-axis device mesh",
     )
     args = p.parse_args(argv)
 
@@ -361,7 +362,8 @@ def main(argv=None):
         mesh = make_mesh(dp=args.mesh_dp, fsdp=1)
 
     if args.compute or args.make_submission:
-        typ = ParallelTypicality(args.model_path, args.dataset_path, args.typicality_path)
+        typ = ParallelTypicality(args.model_path, args.dataset_path, args.typicality_path,
+                                 mesh=mesh)
         if args.make_submission:
             typ.make_submission(args.dataset_path, args.submission_path, sub_split=args.sub_split)
         if args.compute:

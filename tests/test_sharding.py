@@ -130,6 +130,41 @@ def test_typicality_product_path_mesh(tmp_path):
         assert all(x is y for x, y in zip(l1, l2))
 
 
+def test_parallel_typicality_mesh_matches(tmp_path):
+    """ParallelTypicality(mesh=...) — `parallel --compute --mesh_dp` — shards
+    the translated-dataset sweep and matches the unsharded artifacts."""
+    import os
+    from os.path import join
+
+    from PIL import Image
+
+    from diffmining_tpu.applications.parallel import ParallelTypicality
+
+    rng = np.random.RandomState(0)
+    data = tmp_path / "trans"
+    for src in ["France", "Japan"]:
+        os.makedirs(data / src)
+        for sid in ["a1", "b2"]:
+            for prefix in [f"gt--{src}"] + [c for c in ["France", "Japan"] if c != src]:
+                Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)).save(
+                    data / src / f"{prefix}__{sid}.jpg"
+                )
+    sd = SD.init_tiny("geo", ["France", "Japan"])
+    plain = ParallelTypicality(None, str(data), str(tmp_path / "p_plain"), sd=sd, N=4,
+                               batch_images=3)
+    sharded = ParallelTypicality(None, str(data), str(tmp_path / "p_mesh"), sd=sd, N=4,
+                                 batch_images=3, mesh=make_mesh(dp=2, fsdp=1))
+    for typ in (plain, sharded):
+        for c in ["France", "Japan"]:
+            typ.D[c].compute_batch([(p, c) for p in typ.get_seeds_(c)])
+    for c in ["France", "Japan"]:
+        for p in plain.get_seeds_(c):
+            a, b = plain.D[c](p), sharded.D[c](p)
+            np.testing.assert_allclose(
+                a.astype(np.float32), b.astype(np.float32), rtol=2e-3, atol=1e-4
+            )
+
+
 def test_typicality_cli_mesh_dp(tmp_path):
     """End-to-end through the CLI surface: `--mesh_dp 2` runs the sharded
     sweep from a pipeline dir and writes the reference-layout artifacts."""
