@@ -235,10 +235,12 @@ def test_train_step_mesh_with_ema_and_lora(mesh):
 
     sd = SD.init_tiny("ftt", ["1930"])
     m = make_mesh(dp=4, fsdp=1)
-    for lora_rank in (None, 2):
+    # (lora, 8bit): the third row is the production pod config (remat +
+    # blockwise-int8 Adam sharded over dp)
+    for lora_rank, use_8bit in ((None, False), (2, False), (None, True)):
         builder = TrainStepBuilder(
             unet=sd.unet, vae=sd.vae, clip=sd.clip, schedule=sd.schedule,
-            optimizer=make_optimizer(make_lr_schedule("constant", 1e-3, 0)),
+            optimizer=make_optimizer(make_lr_schedule("constant", 1e-3, 0), use_8bit=use_8bit),
             vae_params=sd.vae_params, clip_params=sd.clip_params,
             use_ema=True, mesh=m, lora_rank=lora_rank,
         )
