@@ -69,6 +69,27 @@ def parser_base() -> argparse.ArgumentParser:
     # export
     p.add_argument("--export-only", dest="export_only", action="store_true")
     p.add_argument("--export-dir", dest="export_dir", type=str, default=None)
+    # reference-CLI compatibility: flags the reference declares that are DEAD
+    # in its own trainers (pretrained_model_name_or_path/pretrained/revision/
+    # noise_offset/noise_steps/max_train_samples/val_batch_size/
+    # geoguessr_loss_factor — declared in reference args.py but never read;
+    # probabilistic_dataloader is accepted by G3/G3r and then unused) or
+    # hub-only (push_to_hub/hub_model_id/hub_token — no egress here). Accepted
+    # so reference launch scripts parse unchanged; all inert.
+    p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
+    p.add_argument("--pretrained", action="store_true")
+    p.add_argument("--revision", type=str, default=None)
+    p.add_argument("--tag", type=str, default=None)
+    p.add_argument("--noise_offset", type=float, default=0.0)
+    p.add_argument("--noise_steps", type=int, default=None)
+    p.add_argument("--max_train_samples", type=int, default=None)
+    p.add_argument("--val_batch_size", type=int, default=None)
+    p.add_argument("--geoguessr_loss_factor", type=float, default=None)
+    p.add_argument("--probabilistic_dataloader", action="store_true")
+    p.add_argument("--push_to_hub", action="store_true",
+                   help="inert: no hub egress — use the exported pipeline dir")
+    p.add_argument("--hub_model_id", type=str, default=None)
+    p.add_argument("--hub_token", type=str, default=None)
     # misc parity flags
     p.add_argument("--random_subset", type=int, default=None)
     p.add_argument("--num_samples_log", type=int, default=5)
