@@ -325,7 +325,7 @@ class ParallelCluster:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="parallel-dataset mining (reference parallel cluster.py CLI)")
-    p.add_argument("-d", "--dataset_path", required=True)
+    p.add_argument("-d", "-i", "--dataset_path", required=True)
     p.add_argument("-t", "--typicality_path", required=True)
     p.add_argument("-c", "--cache_path", required=True)
     p.add_argument("-m", "--model_path", default=None)
@@ -334,6 +334,31 @@ def main(argv=None):
     p.add_argument("--compute", action="store_true")
     p.add_argument("--make_submission", action="store_true")
     p.add_argument("--submission_path", default=None)
+    p.add_argument("--N", type=int, default=100)
+    p.add_argument("--t_min", type=float, default=0.0)
+    p.add_argument("--t_max", type=float, default=1.0)
+    # reference-CLI parity (one CLI serves reference compute.py AND
+    # cluster.py, whose short flags collide — -s stays submission-side in
+    # MIGRATION.md): flags below are accepted and inert, matching upstream
+    # where they are dead (--countries parsed-unused compute.py:297; --seed,
+    # --cache_features parsed-unused cluster.py:369,371) or inverted by our
+    # explicit --compute (--dont_compute)
+    p.add_argument("--dont_compute", action="store_true",
+                   help="suppress the compute stage (ours is opt-in via --compute)")
+    p.add_argument("--countries", nargs="*", default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--cache_features", action="store_true")
+    p.add_argument("--figures_only", action="store_true",
+                   help="skip clustering compute; only regenerate figures")
+    p.add_argument("--max_row", type=int, default=6)
+    p.add_argument("--min_row", type=int, default=5)
+    p.add_argument("--top_k_figure", type=int, default=5)
+    p.add_argument("--topk", action="store_true",
+                   help="accepted for parity; the reference's parallel --topk "
+                   "path calls a method its Cluster does not define "
+                   "(cluster.py:395 -> AttributeError upstream) — ignored here")
+    p.add_argument("--top_full_images", action="store_true",
+                   help="accepted for parity; broken upstream like --topk — ignored")
     p.add_argument("--split_id", type=int, default=0)
     p.add_argument("--sub_split", type=int, default=1)
     p.add_argument("--feature_which", type=str, default="dift-161")
@@ -363,10 +388,10 @@ def main(argv=None):
 
     if args.compute or args.make_submission:
         typ = ParallelTypicality(args.model_path, args.dataset_path, args.typicality_path,
-                                 mesh=mesh)
+                                 N=args.N, t_min=args.t_min, t_max=args.t_max, mesh=mesh)
         if args.make_submission:
             typ.make_submission(args.dataset_path, args.submission_path, sub_split=args.sub_split)
-        if args.compute:
+        if args.compute and not args.dont_compute:
             typ.compute_submission(join(args.submission_path, f"{args.split_id}.txt"))
         return
 
@@ -376,10 +401,12 @@ def main(argv=None):
         model_path=args.model_path, aggregate=args.aggregate, kx=args.k, ky=args.k,
         clip_dir=args.clip_dir, mesh=mesh,
     )
-    if args.cluster:
+    if args.cluster and not args.figures_only:
         cl.clustering(args.feature_which, k=k, num_clusters=args.num_clusters, num_components=args.num_components)
     if args.figure_path:
-        cl.make_figure(args.figure_path, k=k, num_clusters=args.num_clusters, feature_which=args.feature_which)
+        cl.make_figure(args.figure_path, k=k, num_clusters=args.num_clusters,
+                       feature_which=args.feature_which, hard_limit=args.max_row,
+                       top_k=args.top_k_figure, min_im=args.min_row)
 
 
 if __name__ == "__main__":

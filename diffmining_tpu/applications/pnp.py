@@ -25,7 +25,7 @@ from __future__ import annotations
 import argparse
 import os
 from os.path import join
-from typing import Callable, Dict, List, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -257,7 +257,8 @@ class Generator:
     reconstructs in single B=S scans (the B=1 inversion is the PnP product's
     least MXU-efficient stage); the per-source translations are unchanged."""
 
-    def __init__(self, sd: SD, image_path, inversion_steps: int = 999, n_timesteps: int = 50):
+    def __init__(self, sd: SD, image_path, inversion_steps: int = 999, n_timesteps: int = 50,
+                 cache_dir: Optional[str] = None):
         self.sd = sd
         paths = [image_path] if isinstance(image_path, str) else list(image_path)
         self.image_paths = paths
@@ -269,7 +270,34 @@ class Generator:
         self.image_path, self.country = paths[0], self.countries_of[0]
         self.pre_head, self.pil, self.arr = self.pre_heads[0], self.pils[0], arrs[0]
         self.pnp = PNP(sd, inversion_steps=inversion_steps, n_timesteps=n_timesteps)
-        self.pnp.invert(arrs, inversion_prompt="")
+        # per-source inversion cache (reference pnp.py:263-267 pickles each
+        # image's DDIM trajectory under --cache so interrupted jobs skip the
+        # 999-step inversion): fp32 npz, exact — a cache hit reproduces the
+        # fresh run byte-for-byte
+        cfiles = None
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            cfiles = [
+                join(cache_dir, f"{c}_{ph}.inv{inversion_steps}.npz")
+                for c, ph in zip(self.countries_of, self.pre_heads)
+            ]
+        if cfiles and all(os.path.isfile(f) for f in cfiles):
+            data = [np.load(f) for f in cfiles]
+            self.pnp._source_latent = jnp.asarray(np.stack([d["x_T"] for d in data]))
+            self.pnp._trajectory = jnp.asarray(np.stack([d["traj"] for d in data], axis=1))
+            self.pnp._clean_latent = jnp.asarray(np.stack([d["clean"] for d in data]))
+        else:
+            self.pnp.invert(arrs, inversion_prompt="")
+            if cfiles:
+                for s, f in enumerate(cfiles):
+                    tmp = f + ".tmp.npz"
+                    np.savez(
+                        tmp,
+                        x_T=np.asarray(self.pnp._source_latent[s], np.float32),
+                        traj=np.asarray(self.pnp._trajectory[:, s], np.float32),
+                        clean=np.asarray(self.pnp._clean_latent[s], np.float32),
+                    )
+                    os.replace(tmp, f)
 
     def plotum(self, dir_path: str, countries: Sequence[str], batch_size: int = 10,
                format_text: Callable[[str], str] = "{}".format) -> None:
@@ -307,6 +335,13 @@ def main(argv=None):
         help="invert/reconstruct this many source images per B=S scan "
         "(same-shape groups; 1 = the reference's one-image-at-a-time flow)",
     )
+    p.add_argument(
+        "--cache", type=str, default=None,
+        help="cache each source's 999-step inversion trajectory here "
+        "(~65 MB fp32 per 512px source) so interrupted jobs resume without "
+        "re-inverting; the reference caches under .cache/ by default "
+        "(pnp.py:50) — ours is opt-in",
+    )
     args = p.parse_args(argv)
 
     sd = SD.from_pipeline_dir("geo", args.model_path, [])
@@ -340,7 +375,8 @@ def main(argv=None):
                 and sizes[i + len(group)] == sizes[i]
             ):
                 group.append(pending[i + len(group)])
-            g = Generator(sd, group, inversion_steps=args.inversion_steps)
+            g = Generator(sd, group, inversion_steps=args.inversion_steps,
+                          cache_dir=args.cache)
             g.plotum(dir_path, COUNTRIES, batch_size=args.batch_size)
             i += len(group)
 

@@ -614,6 +614,12 @@ def main(argv=None):
     parser.add_argument("--k", type=int, default=64)
     parser.add_argument("--aggregate", type=str, default="median", choices=["mean", "median"])
     parser.add_argument("--not_cache_features", action="store_false", dest="cache_features")
+    parser.add_argument("-s", "--seed", type=int, default=42,
+                        help="accepted for reference CLI parity (reference "
+                        "cluster.py:572 parses it and never uses it)")
+    parser.add_argument("--figures_only", action="store_true",
+                        help="skip topk/clustering compute; only regenerate "
+                        "figures from the cache (reference cluster.py:597)")
     parser.add_argument("--max_row", type=int, default=6)
     parser.add_argument("--top_k_figure", type=int, default=5)
     parser.add_argument("--min_row", type=int, default=5)
@@ -643,16 +649,17 @@ def main(argv=None):
         cache_features=args.cache_features, clip_dir=args.clip_dir,
         native_res=args.native_res, mesh=mesh,
     )
-    if args.topk:
-        cluster.plot_top_k(
-            k_per_image=5, k=(50 if args.num_images is None else args.num_images),
-            overlays=args.overlays,
-        )
-    if args.cluster:
-        cluster.clustering(
-            feature_which=args.feature_which, k=(1000 if args.num_images is None else args.num_images),
-            num_clusters=args.num_clusters, project=args.umap,
-        )
+    if not args.figures_only:
+        if args.topk:
+            cluster.plot_top_k(
+                k_per_image=5, k=(50 if args.num_images is None else args.num_images),
+                overlays=args.overlays,
+            )
+        if args.cluster:
+            cluster.clustering(
+                feature_which=args.feature_which, k=(1000 if args.num_images is None else args.num_images),
+                num_clusters=args.num_clusters, project=args.umap,
+            )
     if args.figure_path is not None:
         if args.top_full_images:
             cluster.extract_top_k_images(args.figure_path)

@@ -118,6 +118,35 @@ def test_generator_batched_sources(sd, tmp_path):
         assert f"Japan_00{i}_0.jpg" in files
 
 
+def test_generator_inversion_cache(sd, tmp_path):
+    """--cache round-trip: a second Generator over cached sources must load
+    the trajectory instead of re-inverting (byte-exact fp32 cache)."""
+    src_dir = tmp_path / "base" / "France"
+    os.makedirs(src_dir)
+    rng = np.random.RandomState(5)
+    paths = []
+    for i in range(2):
+        p = str(src_dir / f"id_c{i}_0.jpg")
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+    cache = str(tmp_path / "cache")
+    g1 = Generator(sd, paths, inversion_steps=4, n_timesteps=2, cache_dir=cache)
+    traj1 = np.asarray(g1.pnp._trajectory, np.float32)
+    assert len(os.listdir(cache)) == 2
+    # the cached run must not invert at all
+    import diffmining_tpu.applications.pnp as pnp_mod
+    orig = pnp_mod.PNP.invert
+    pnp_mod.PNP.invert = lambda *a, **k: (_ for _ in ()).throw(AssertionError("re-inverted"))
+    try:
+        g2 = Generator(sd, paths, inversion_steps=4, n_timesteps=2, cache_dir=cache)
+    finally:
+        pnp_mod.PNP.invert = orig
+    np.testing.assert_array_equal(np.asarray(g2.pnp._trajectory, np.float32), traj1)
+    # a different inversion_steps must MISS (keyed into the filename)
+    g3 = Generator(sd, paths, inversion_steps=5, n_timesteps=2, cache_dir=cache)
+    assert g3.pnp._trajectory.shape[0] == 5
+
+
 def test_generator_file_protocol(sd, tmp_path):
     src_dir = tmp_path / "base" / "France"
     os.makedirs(src_dir)
