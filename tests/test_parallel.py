@@ -95,6 +95,23 @@ def test_parallel_clip_and_concat_modes(computed, tmp_path_factory):
     np.testing.assert_allclose(Xc[0][:D_clip], X[0], rtol=1e-5)  # clip half cached+stable
 
 
+def test_parallel_cli_figures_only_and_aliases(tmp_path, monkeypatch):
+    """--figures_only regenerates figures without clustering compute, and the
+    reference compute CLI's -i dataset alias parses (reference parity)."""
+    import diffmining_tpu.applications.parallel as par
+
+    os.makedirs(tmp_path / "data" / "France")
+    called = []
+    monkeypatch.setattr(par.ParallelCluster, "clustering",
+                        lambda *a, **k: called.append("clustering"))
+    monkeypatch.setattr(par.ParallelCluster, "make_figure",
+                        lambda *a, **k: called.append("figure"))
+    par.main(["-i", str(tmp_path / "data"), "-t", str(tmp_path / "typ"),
+              "-c", str(tmp_path / "cache"), "--cluster", "--figures_only",
+              "--figure_path", str(tmp_path / "figs")])
+    assert called == ["figure"]
+
+
 def test_parallel_clustering_end_to_end(computed, tmp_path_factory):
     sd, typ, typ_path, ds = computed
     cache = str(tmp_path_factory.mktemp("pcache2"))
