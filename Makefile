@@ -9,6 +9,11 @@ diffmining_tpu/native/libboxops.so: diffmining_tpu/native/boxops.cpp
 test:
 	python -m pytest tests/ -x -q
 
+# fast lane: skips the minutes-long e2e probes (full-config parity, the
+# 2-process jax.distributed pods, full graft entry) — ~half the wall time
+test-fast:
+	python -m pytest tests/ -x -q -m "not slow"
+
 bench:
 	python bench.py
 

@@ -55,6 +55,18 @@ def parser_base() -> argparse.ArgumentParser:
     p.add_argument("--dataloader_num_workers", type=int, default=4)
     p.add_argument("--mesh_dp", type=int, default=None, help="data-parallel mesh size (default: all devices)")
     p.add_argument("--mesh_fsdp", type=int, default=1)
+    # multi-host (TPU pods) — replaces the reference's accelerate/NCCL
+    # multi-node process group (reference base.py:86-96, args.py LOCAL_RANK):
+    # jax.distributed.initialize per host, mesh over GLOBAL devices, per-host
+    # batch slices in BatchIterator.
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize before building the "
+                   "mesh (TPU pods auto-discover the topology; CPU/GPU "
+                   "clusters pass the coordinator flags)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (implies --distributed)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     # lora
     p.add_argument("--lora", action="store_true")
     p.add_argument("--lora_rank", type=int, default=4)
@@ -102,6 +114,15 @@ def parser_base() -> argparse.ArgumentParser:
 
 def parse_args(argv=None):
     args = parser_base().parse_args(argv)
+    if args.distributed or args.coordinator_address is not None:
+        # must run before any device/mesh use so jax.devices() is GLOBAL
+        from diffmining_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     env_local_rank = int(os.environ.get("LOCAL_RANK", -1))
     if env_local_rank != -1 and env_local_rank != args.local_rank:
         args.local_rank = env_local_rank

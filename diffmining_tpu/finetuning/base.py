@@ -158,9 +158,15 @@ class BaseTrainer:
             ids = _r.Random(42).sample(range(len(self.train_dataset)), args.random_subset)
             self.train_dataset.items = [self.train_dataset.items[i] for i in ids]
         self.train_dataset.resolution = args.resolution or self.spec.resolution
+        proc_slice = None
+        if jax.process_count() > 1:
+            # pods: each host loads 1/process_count of every global batch
+            from diffmining_tpu.parallel.mesh import host_local_batch_slice
+
+            proc_slice = host_local_batch_slice(args.train_batch_size)
         self.loader = BatchIterator(
             self.train_dataset, args.train_batch_size, seed=args.seed,
-            num_threads=args.dataloader_num_workers,
+            num_threads=args.dataloader_num_workers, process_slice=proc_slice,
         )
 
     def training_init(self):
@@ -191,11 +197,37 @@ class BaseTrainer:
             lora_rank=(args.lora_rank if args.lora else None),
         )
         self.state = self.builder.init_state(self.unet_params, jax.random.PRNGKey(args.seed))
+        self._place_global()
         self.train_step = self.builder.build()
         self.global_step = 0
         self.first_epoch = 0
         self.resume_step = 0
         self._ckptr = None  # persistent async orbax checkpointer
+
+    def _place_global(self):
+        """Multi-host: the train state and frozen towers must be GLOBAL
+        (process-spanning) replicated arrays before they can enter the jitted
+        step — host-local uncommitted arrays are only valid single-process.
+        Init is deterministic (same seed per host), so replication is a pure
+        local placement, no cross-host transfer."""
+        if jax.process_count() == 1:
+            return
+        from diffmining_tpu.parallel.mesh import replicate_global
+
+        self.state = replicate_global(self.mesh, self.state)
+        self.builder.vae_params = replicate_global(self.mesh, self.builder.vae_params)
+        self.builder.clip_params = replicate_global(self.mesh, self.builder.clip_params)
+        if self.builder.lora_base is not None:
+            self.builder.lora_base = replicate_global(self.mesh, self.builder.lora_base)
+
+    def _globalize(self, x):
+        """Per-host batch slice -> global dp-sharded array (no-op shape-wise
+        single-process)."""
+        if jax.process_count() == 1:
+            return jnp.asarray(x)
+        from diffmining_tpu.parallel.mesh import globalize_batch
+
+        return globalize_batch(self.mesh, x, local=True)
 
     # ------------------------------------------------------------------
     # checkpoints (orbax)
@@ -211,6 +243,8 @@ class BaseTrainer:
         called with no save in flight, so nothing here races a writer."""
         import shutil
 
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return  # shared filesystem on pods: one pruner
         out = self.args.output_dir
         entries = sorted(
             (d for d in os.listdir(out) if re.match(r"checkpoint-\d+$", d)),
@@ -337,6 +371,8 @@ class BaseTrainer:
             self._ckptr = None
         export_dir = args.export_dir or join(args.output_dir, "export")
         params = self.builder.dense_params(self.state, use_ema=args.use_ema)
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return export_dir  # params are replicated; process 0 writes
         save_pipeline_dir(
             export_dir,
             self.unet.config, jax.device_get(params),
@@ -361,6 +397,7 @@ class BaseTrainer:
             lora_rank=(args.lora_rank if args.lora else None),
         )
         self.state = self.builder.init_state(self.unet_params, jax.random.PRNGKey(args.seed))
+        self._place_global()
         self.global_step = self.first_epoch = self.resume_step = 0
 
     def train(self):
@@ -382,10 +419,13 @@ class BaseTrainer:
         # per logging window. The reference gathers the loss every step
         # (cars.py:290) — we deliberately don't.
         losses: List[jax.Array] = []
+        # host-side writes (metrics, previews) happen on process 0 only; the
+        # loss scalar is replicated so every process computes the same mean
+        is_proc0 = jax.process_index() == 0
         metrics = MetricsLogger(
             join(args.output_dir, args.logging_dir, "metrics.jsonl"),
             report_to=getattr(args, "report_to", ""),
-        )
+        ) if is_proc0 else None
         timer = StepTimer()
         done = False
         for epoch in range(self.first_epoch, args.num_train_epochs):
@@ -393,7 +433,7 @@ class BaseTrainer:
                 if epoch == self.first_epoch and step < self.resume_step:
                     continue
                 self.state, loss = self.train_step(
-                    self.state, jnp.asarray(batch["image"]), jnp.asarray(batch["tokenized"]), rng
+                    self.state, self._globalize(batch["image"]), self._globalize(batch["tokenized"]), rng
                 )
                 self.global_step += 1
                 losses.append(loss)  # device scalar — no host fetch here
@@ -404,17 +444,26 @@ class BaseTrainer:
                 if self.global_step % args.logging_steps == 0:
                     mean_loss = float(jnp.mean(jnp.stack(losses)))  # ONE sync per window
                     logger.info("step %d loss %.4f", self.global_step, mean_loss)
-                    metrics.log(self.global_step, train_loss=mean_loss, epoch=epoch,
-                                steps_per_sec=timer.steps_per_sec())
+                    if metrics is not None:
+                        metrics.log(self.global_step, train_loss=mean_loss, epoch=epoch,
+                                    steps_per_sec=timer.steps_per_sec())
                     if args.log_previews:
-                        self.save_logs(self.sample())
+                        # sample() is an SPMD computation over the (possibly
+                        # multi-process) mesh — every process must join; only
+                        # process 0 writes the grids
+                        logs = self.sample()
+                        if is_proc0:
+                            self.save_logs(logs)
                 if self.global_step >= args.max_train_steps:
                     done = True
                     break
             if done:
                 break
-        metrics.close()
+        if metrics is not None:
+            metrics.close()
         if args.log_previews:
-            self.save_logs(self.sample())
+            logs = self.sample()
+            if is_proc0:
+                self.save_logs(logs)
         self.save_checkpoint(self.global_step, wait=True)
         return self.end_training()

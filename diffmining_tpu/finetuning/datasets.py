@@ -252,6 +252,7 @@ class BatchIterator:
         seed: int = 42,
         num_threads: int = 4,
         drop_last: bool = True,
+        process_slice=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -259,6 +260,10 @@ class BatchIterator:
         self.seed = seed
         self.num_threads = num_threads
         self.drop_last = drop_last
+        # multi-host: every process derives the same global batch id lists
+        # (seeded shuffle) and loads only its slice of each batch — the
+        # trainer reassembles the global array (mesh.globalize_batch)
+        self.process_slice = process_slice
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -278,6 +283,8 @@ class BatchIterator:
 
         def worker():
             for batch_ids in batches:
+                if self.process_slice is not None:
+                    batch_ids = batch_ids[self.process_slice]
                 items = [self.dataset.__getitem__(i, epoch) for i in batch_ids]
                 q.put(
                     dict(

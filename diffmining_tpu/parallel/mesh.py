@@ -102,9 +102,56 @@ def initialize_distributed(
 
 def host_local_batch_slice(global_batch: int) -> slice:
     """The slice of a globally-sharded batch this host should feed
-    (process-local data loading for pods)."""
+    (process-local data loading for pods). Callers: BatchIterator
+    (finetuning/datasets.py) and the typicality sweep's group dispatch
+    (typicality/compute.py + engine.py via globalize_batch)."""
     import jax
 
-    per_host = global_batch // jax.process_count()
+    n = jax.process_count()
+    assert global_batch % n == 0, (
+        f"global batch {global_batch} must divide by process count {n}"
+    )
+    per_host = global_batch // n
     start = jax.process_index() * per_host
     return slice(start, start + per_host)
+
+
+def globalize_batch(mesh: Mesh, x, spec: P = P("dp"), local: bool = False):
+    """Host batch -> global jax.Array sharded over `spec`.
+
+    Single-process: a plain device_put (no copy semantics change). Multi-
+    process (TPU pod): with local=False, `x` is the FULL logical batch,
+    identical on every host (deterministic queue order) and each process
+    contributes its host_local_batch_slice; with local=True, `x` is already
+    this host's slice (e.g. from BatchIterator's process_slice). Either way
+    the global array is assembled without any cross-host transfer.
+    Already-global arrays pass through untouched.
+    """
+    import jax
+
+    sh = NamedSharding(mesh, spec)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return x  # already a global (process-spanning) array
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    arr = np.asarray(x)
+    if not local:
+        arr = arr[host_local_batch_slice(arr.shape[0])]
+    return jax.make_array_from_process_local_data(sh, arr)
+
+
+def replicate_global(mesh: Mesh, tree):
+    """Place a host pytree as fully-replicated arrays over the (possibly
+    multi-process) mesh. Every host must hold identical values — true for
+    deterministic inits and checkpoint restores, which is where this is used
+    (finetuning/base.py multi-host setup)."""
+    import jax
+
+    sh = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+
+    def leaf(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree_util.tree_map(leaf, tree)

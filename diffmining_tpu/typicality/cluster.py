@@ -211,7 +211,11 @@ class Cluster(Typicality):
         """Per-image top-k non-overlapping boxes + random baseline boxes."""
         d = self.D[country]
         rows, rows_random = [], []
-        rng = random.Random(seed)
+        # one vectorized draw per image (a per-pixel python loop was ~190k
+        # host calls per 512px image); still deterministic in `seed` — the
+        # stream differs from the old scalar loop, which is fine: the random
+        # baseline's exact values are not an interop contract
+        rng = np.random.RandomState(seed)
         for path in self.get_seeds(d, country):
             try:
                 dm = self.load_typicality(d, path)
@@ -220,8 +224,7 @@ class Cluster(Typicality):
                 for (x0, y0, x1, y1), s in zip(boxes, scores):
                     rows.append((path, x0, y0, x1, y1, float(dm[x0, y0]), "real"))
                 # random baseline: shuffled candidate order, same suppression
-                h, w = dm.shape
-                rand_scores = np.asarray([rng.random() for _ in range(h * w)], dtype=np.float32).reshape(h, w)
+                rand_scores = rng.random_sample(dm.shape).astype(np.float32)
                 rboxes, _ = top_patches(rand_scores, self.kx, self.ky, k_per_image)
                 for x0, y0, x1, y1 in rboxes:
                     rows_random.append((path, x0, y0, x1, y1, float(dm[x0, y0]), "real"))

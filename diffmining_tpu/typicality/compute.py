@@ -193,12 +193,12 @@ class SD:
             else:
                 self._sweep_params = self.unet_params
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from diffmining_tpu.parallel.mesh import replicate_global
 
             if getattr(self, "_sweep_params_mesh", None) is not mesh:
-                self._sweep_params = jax.device_put(
-                    self._sweep_params, NamedSharding(mesh, P())
-                )
+                # multi-host safe: plain device_put single-process, per-leaf
+                # global assembly on pods
+                self._sweep_params = replicate_global(mesh, self._sweep_params)
                 self._sweep_params_mesh = mesh
         return self._sweep_params
 
@@ -373,18 +373,27 @@ class D:
             group = list(group) + [group[-1]] * (self.batch_images - n_real)
         paths = [g[0] for g in group]
         uids = [image_uid(p) for p in paths]
-        images = jnp.asarray(np.stack([g[2] for g in group]))
+        images = np.stack([g[2] for g in group])
         ctx = jnp.asarray(np.stack([self._ctx_pair(g[1]) for g in group]))
         vae_key = jax.random.fold_in(jax.random.PRNGKey(self.seed), 7)
         vae_keys = jnp.stack([jax.random.fold_in(vae_key, u) for u in uids])
         if self.mesh is not None and images.shape[0] % self.mesh.shape["dp"] == 0:
             # shard the VAE encode over dp too (the sweep dominates, but an
-            # unsharded 512px encode would still serialize on one chip)
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            # unsharded 512px encode would still serialize on one chip).
+            # Multi-host (--distributed): every process walks the identical
+            # queue and decodes the full group (decode is ~ms vs the N=100
+            # sweep's seconds); globalize_batch feeds each host's slice and
+            # assembles the global batch with zero cross-host transfer.
+            from diffmining_tpu.parallel.mesh import globalize_batch, replicate_global
 
-            data = NamedSharding(self.mesh, P("dp"))
-            images = jax.device_put(images, data)
-            vae_keys = jax.device_put(vae_keys, data)
+            if jax.process_count() > 1 and not getattr(self.sd, "_vae_params_global", False):
+                # the sharded VAE encode needs process-spanning weights too
+                self.sd.vae_params = replicate_global(self.mesh, self.sd.vae_params)
+                self.sd._vae_params_global = True
+            images = globalize_batch(self.mesh, images)
+            vae_keys = globalize_batch(self.mesh, vae_keys)
+        else:
+            images = jnp.asarray(images)
         latents = self.sd.encode_vae_per_image(images, vae_keys)
         losses = self.engine.compute(latents, ctx, uids)  # [B,N,2,h,w,C]
         return paths, n_real, losses
@@ -394,6 +403,20 @@ class D:
         from diffmining_tpu.utils.artifacts import atomic_save_npy
 
         os.makedirs(self.typicality_path, exist_ok=True)
+        if isinstance(losses, jax.Array) and not losses.is_fully_addressable:
+            # multi-host: each process can only fetch its local dp shards —
+            # save exactly those rows (the pod's shared FS receives the full
+            # artifact set across hosts; rows are disjoint by construction)
+            rows = {}
+            for s in losses.addressable_shards:
+                start = s.index[0].start or 0
+                data = np.asarray(s.data)
+                for j in range(data.shape[0]):
+                    rows[start + j] = data[j]
+            for b, path in enumerate(paths[:n_real]):
+                if b in rows:
+                    atomic_save_npy(self.get_path(path), losses_to_reference_layout(rows[b]))
+            return n_real
         for b, path in enumerate(paths[:n_real]):
             atomic_save_npy(self.get_path(path), losses_to_reference_layout(np.asarray(losses[b])))
         return n_real
@@ -424,6 +447,7 @@ class Typicality:
         bucket_size: Optional[int] = None,
         mesh=None,
         native_res: bool = False,
+        dtype=jnp.bfloat16,
     ):
         self.which = which
         self.native_res = native_res
@@ -435,7 +459,7 @@ class Typicality:
         }[which]
         load(dataset_path)
         if sd is None and model_path is not None:
-            sd = SD.from_pipeline_dir(which, model_path, self.categories())
+            sd = SD.from_pipeline_dir(which, model_path, self.categories(), dtype=dtype)
         self.sd = sd
         self.D = {
             c: D(
@@ -626,15 +650,39 @@ def main(argv=None):
         help="shard the sweep batch over a dp-axis device mesh of this size "
         "(multi-chip; complements --sub_split host-level sharding)",
     )
+    # multi-host (TPU pods): jax.distributed per host, mesh over GLOBAL
+    # devices, per-host batch slices + per-host artifact shard writes
+    # (reference ran multi-node via the SLURM array, parallel.sh:5)
+    parser.add_argument("--distributed", action="store_true")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 (implies --distributed)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--dont_compute", action="store_false")
     parser.add_argument(
         "--profile", type=str, default=None, metavar="DIR",
         help="write a jax.profiler trace of the sweep to DIR (open in "
         "TensorBoard / xprof)",
     )
+    parser.add_argument(
+        "--dtype", type=str, default="bf16", choices=["bf16", "fp32"],
+        help="sweep compute dtype: bf16 rides the MXU (TPU default); fp32 for "
+        "CPU validation runs and bit-exact cross-topology comparisons",
+    )
     parser.add_argument("--countries", nargs="*", default=None)  # accepted for
     # reference CLI parity (compute.py:379 — parsed but unused there too)
     args = parser.parse_args(argv)
+
+    if args.distributed or args.coordinator_address is not None:
+        from diffmining_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        if args.mesh_dp is None:
+            args.mesh_dp = len(jax.devices())  # global mesh by default
 
     model_path = args.model_path
     if model_path is not None and not os.path.isfile(join(model_path, "model_index.json")):
@@ -656,9 +704,17 @@ def main(argv=None):
         t_min=args.t_min, t_max=args.t_max, N=args.N,
         batch_images=args.batch_images, bucket_size=args.bucket_size, mesh=mesh,
         native_res=args.native_res,
+        dtype={"bf16": jnp.bfloat16, "fp32": jnp.float32}[args.dtype],
     )
     if args.make_submission:
-        typ.make_submission(args.target_path, args.submission_path, sub_split=args.sub_split)
+        # multi-host: one writer for the shared submission shards, then a
+        # barrier so no process reads a half-written queue file
+        if jax.process_count() == 1 or jax.process_index() == 0:
+            typ.make_submission(args.target_path, args.submission_path, sub_split=args.sub_split)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("diffmining:submission_written")
     if args.dont_compute:
         assert args.model_path is not None
         sub_file = join(args.submission_path, f"{args.split_id}.txt")

@@ -190,6 +190,8 @@ class TypicalityEngine:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from diffmining_tpu.parallel.mesh import globalize_batch
+
             dp = self.mesh.shape["dp"]
             pad = (-B) % dp
             if pad:
@@ -202,13 +204,17 @@ class TypicalityEngine:
                         f"avoid the padded work"
                     )
                     self._warned_pad = True
+                assert jax.process_count() == 1 or not (
+                    isinstance(latents, jax.Array) and not latents.is_fully_addressable
+                ), "multi-host sweep batches must already divide dp (D pads groups to batch_images)"
                 latents = jnp.concatenate([latents, jnp.repeat(latents[-1:], pad, axis=0)])
                 ctx = jnp.concatenate([ctx, jnp.repeat(ctx[-1:], pad, axis=0)])
                 keys = jnp.concatenate([keys, jnp.repeat(keys[-1:], pad, axis=0)])
-            data = NamedSharding(self.mesh, P("dp"))
-            latents = jax.device_put(latents, data)
-            ctx = jax.device_put(ctx, data)
-            keys = jax.device_put(keys, data)
+            # multi-host: already-global arrays (e.g. the sharded VAE encode's
+            # output) pass through; host arrays contribute per-process slices
+            latents = globalize_batch(self.mesh, latents)
+            ctx = globalize_batch(self.mesh, ctx)
+            keys = globalize_batch(self.mesh, keys)
             if not hasattr(self, "_placed_params"):
                 # no-op (no copy) when the caller shares an already-placed
                 # tree, e.g. SD.sweep_params(mesh)
