@@ -73,6 +73,95 @@ def pearson(a: np.ndarray, b: np.ndarray) -> float:
     return p(a, b)
 
 
+def spearman(a: np.ndarray, b: np.ndarray) -> float:
+    """Rank correlation (pearson of the rank vectors)."""
+    ra = np.argsort(np.argsort(np.asarray(a, np.float64)))
+    rb = np.argsort(np.argsort(np.asarray(b, np.float64)))
+    return pearson(ra.astype(np.float64), rb.astype(np.float64))
+
+
+def cluster_rank_correlation(
+    pipeline_dir: str,
+    dataset: str,
+    which: str,
+    ours_tree: str,
+    theirs_tree: str,
+    num_clusters: int = 32,
+    k_per_image: int = 5,
+    patch: int = 64,
+    feature_which: str = "dift-161",
+    cache_path: str = None,
+    sd=None,
+) -> Dict[str, float]:
+    """The headline BASELINE.md oracle: cluster RANK correlation of the FULL
+    mining chain (patch tables → DIFT → k-means(rs=10) → median ranking,
+    reference cluster.py:312-380) between two typicality artifact trees.
+
+    Design: both trees' top-k patches are mined with identical code; the
+    UNION patch set is DIFT-featurized ONCE (features depend only on the
+    checkpoint + image, not on the tree) and jointly k-means-clustered; each
+    cluster is then median-ranked under each tree's typicality scores, and
+    the per-category number is the Spearman correlation of the two cluster
+    score vectors. Identical maps give 1.0 by construction; a conversion bug
+    that reorders which patches/clusters are typical drags it down even when
+    per-pixel correlation looks high.
+    """
+    import pandas as pd
+
+    from diffmining_tpu.ops.kmeans import KMeans
+    from diffmining_tpu.ops.pool import top_patches
+    from diffmining_tpu.typicality.cluster import PATCH_COLUMNS, Cluster
+
+    cache = cache_path or join(ours_tree, "_rank_cache")
+    ours = Cluster(
+        which, ours_tree, dataset, cache, model_path=pipeline_dir,
+        kx=patch, ky=patch, cache_features=False, dift_sd=sd,
+    )
+    theirs = Cluster(
+        which, theirs_tree, dataset, join(cache, "theirs"),
+        kx=patch, ky=patch, cache_features=False,
+    )
+    per_cat: Dict[str, float] = {}
+    for c in sorted(ours.categories()):
+        seeds = [p for p in ours.get_seeds(ours.D[c], c) if theirs.D[c].exists(p)]
+        if not seeds:
+            continue
+        maps_o, maps_t = {}, {}
+        union: Dict[Tuple[str, Tuple[int, int, int, int]], None] = {}
+        for path in seeds:
+            maps_o[path] = ours.load_typicality(ours.D[c], path)
+            maps_t[path] = theirs.load_typicality(theirs.D[c], path)
+            for m in (maps_o[path], maps_t[path]):
+                boxes, _ = top_patches(m, patch, patch, k_per_image)
+                for b in boxes:
+                    union.setdefault((path, tuple(int(v) for v in b)))
+        patches = list(union)
+        if len(patches) < 4:
+            continue
+        nc = min(num_clusters, max(2, len(patches) // 2))
+        # score convention matches df_D: the pooled map value at the patch's
+        # top-left corner
+        rows = [
+            (path, x0, y0, x1, y1, float(maps_o[path][x0, y0]), "real")
+            for path, (x0, y0, x1, y1) in patches
+        ]
+        df = pd.DataFrame(rows, columns=PATCH_COLUMNS)
+        X, _ids, _pils, _ds, _paths = ours.compute_embeddings(
+            df, c=c, to_add_border=False, feature_which=feature_which
+        )
+        km = KMeans(n_clusters=nc, random_state=10).fit(np.stack(X, axis=0))
+        members: Dict[int, list] = {}
+        for i, l in enumerate(km.labels_):
+            members.setdefault(int(l), []).append(i)
+        score_o, score_t = [], []
+        for k in sorted(members):
+            idx = members[k]
+            score_o.append(float(np.median([maps_o[patches[i][0]][patches[i][1][0], patches[i][1][1]] for i in idx])))
+            score_t.append(float(np.median([maps_t[patches[i][0]][patches[i][1][0], patches[i][1][1]] for i in idx])))
+        per_cat[c] = spearman(np.asarray(score_o), np.asarray(score_t))
+    return per_cat
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="verify a converted SD pipeline checkpoint")
     ap.add_argument("pipeline_dir")
@@ -92,6 +181,13 @@ def main(argv=None) -> int:
     ap.add_argument("--n_samples", type=int, default=100)
     ap.add_argument("--t_min", type=float, default=0.1)
     ap.add_argument("--t_max", type=float, default=0.7)
+    # stage 6 (cluster-rank): the headline BASELINE.md oracle over the FULL
+    # mining chain; 0 disables
+    ap.add_argument("--rank_images", type=int, default=16,
+                    help="images to sweep for the cluster-rank stage (>= sweep_images)")
+    ap.add_argument("--rank_clusters", type=int, default=32)
+    ap.add_argument("--rank_patch", type=int, default=64, help="patch size (reference: 64)")
+    ap.add_argument("--rank_feature", default="dift-161")
     args = ap.parse_args(argv)
 
     import jax
@@ -300,25 +396,46 @@ def main(argv=None) -> int:
                 args.which, args.pipeline_dir, args.dataset, tmp,
                 N=args.n_samples, t_min=args.t_min, t_max=args.t_max,
             )
+            n_target = max(args.sweep_images, args.rank_images)
             n = 0
             for c in typ.categories():
-                if n >= args.sweep_images:
+                if n >= n_target:
                     break
-                seeds = typ.get_seeds_(c)[: args.sweep_images - n]
+                seeds = typ.get_seeds_(c)[: n_target - n]
                 # prefer images the reference tree has, so correlations exist
                 have = set()
                 ref_cat = join(args.theirs, c)
                 if os.path.isdir(ref_cat):
                     have = {os.path.splitext(f)[0] for f in os.listdir(ref_cat)}
                     preferred = [s for s in typ.get_seeds_(c) if os.path.splitext(os.path.basename(s))[0] in have]
-                    seeds = (preferred or seeds)[: args.sweep_images - n]
+                    seeds = (preferred or seeds)[: n_target - n]
                 typ.D[c].compute_batch([(s, c) for s in seeds])
                 n += len(seeds)
             res = compare_typicality_dirs(tmp, args.theirs)
-        mean = res.get("__mean__", 0.0)
-        good = mean > 0.95 and len(res) > 1
-        print(f"[fidelity] {'PASS' if good else 'FAIL'} mean map correlation {mean:.4f} over {max(len(res) - 1, 0)} image(s)")
-        ok &= good
+            mean = res.get("__mean__", 0.0)
+            good = mean > 0.95 and len(res) > 1
+            print(f"[fidelity] {'PASS' if good else 'FAIL'} mean map correlation {mean:.4f} over {max(len(res) - 1, 0)} image(s)")
+            ok &= good
+
+            # 6. cluster-rank: the headline >0.95 number over the FULL mining
+            # chain (patch mining → DIFT → k-means → median cluster ranking)
+            if args.rank_images > 0:
+                per_cat = cluster_rank_correlation(
+                    args.pipeline_dir, args.dataset, args.which,
+                    ours_tree=tmp, theirs_tree=args.theirs,
+                    num_clusters=args.rank_clusters, patch=args.rank_patch,
+                    feature_which=args.rank_feature,
+                    cache_path=join(tmp, "_rank_cache"), sd=typ.sd,
+                )
+                if per_cat:
+                    mean_r = float(np.mean(list(per_cat.values())))
+                    good = mean_r > 0.95
+                    detail = " ".join(f"{c}={v:.3f}" for c, v in sorted(per_cat.items()))
+                    print(f"[cluster_rank] {'PASS' if good else 'FAIL'} mean spearman {mean_r:.4f} ({detail})")
+                    ok &= good
+                else:
+                    print("[cluster_rank] FAIL (no category had >=4 shared patches)")
+                    ok = False
 
     print(f"verify_checkpoint: {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1

@@ -63,6 +63,75 @@ def test_verify_torch_oracle_stage(pipeline_dir):
     assert verify_main([out, "--torch_oracle"]) == 0
 
 
+@pytest.fixture(scope="module")
+def rank_fixture(pipeline_dir, tmp_path_factory):
+    """3-image ftt dataset + a 'reference' typicality tree swept with the
+    same checkpoint (bitwise-equal trees by determinism)."""
+    from PIL import Image
+
+    from diffmining_tpu.typicality.compute import Typicality
+
+    out, _sd = pipeline_dir
+    root = tmp_path_factory.mktemp("rank")
+    data = root / "ftt"
+    rng = np.random.RandomState(3)
+    os.makedirs(data / "1920")
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            data / "1920" / f"f{i}.jpg"
+        )
+    theirs = str(root / "theirs")
+    typ = Typicality("ftt", out, str(data), theirs, N=4, t_min=0.1, t_max=0.7)
+    for c in typ.categories():
+        typ.D[c].compute_batch([(s, c) for s in typ.get_seeds_(c)])
+    return str(data), theirs
+
+
+@pytest.mark.slow
+def test_verify_cluster_rank_stage(pipeline_dir, rank_fixture):
+    """Stage 6 (cluster-rank): against a reference tree produced by the SAME
+    checkpoint the full mining chain must come back with spearman 1.0 — the
+    self-consistency anchor for the BASELINE.md >0.95 oracle. Exercises the
+    whole path: sweep → patch union → DIFT → k-means → median rank."""
+    out, _ = pipeline_dir
+    data, theirs = rank_fixture
+    rc = verify_main([
+        out, "--which", "ftt", "--dataset", data, "--theirs", theirs,
+        "--n_samples", "4", "--sweep_images", "2",
+        # 16px boxes: ftt keeps the 64px test images native, so the pooled
+        # map is (h-patch+1)^2 — a 64 patch would leave one box per image
+        "--rank_images", "3", "--rank_clusters", "4", "--rank_patch", "16",
+    ])
+    assert rc == 0
+
+
+@pytest.mark.slow
+def test_cluster_rank_detects_scrambled_tree(pipeline_dir, rank_fixture, tmp_path):
+    """The oracle must have teeth: negating the reference loss grids flips
+    which patches/clusters are typical, and the rank correlation collapses
+    well below the 0.95 gate."""
+    import shutil
+    from os.path import join as j
+
+    from diffmining_tpu.utils.verify_checkpoint import cluster_rank_correlation
+
+    out, _ = pipeline_dir
+    data, theirs = rank_fixture
+    bad = str(tmp_path / "scrambled")
+    shutil.copytree(theirs, bad)
+    for root, _dirs, files in os.walk(bad):
+        for f in files:
+            if f.endswith(".npy"):
+                a = np.load(j(root, f))
+                np.save(j(root, f), -a)
+    per_cat = cluster_rank_correlation(
+        out, data, "ftt", ours_tree=theirs, theirs_tree=bad,
+        num_clusters=7, patch=16, cache_path=str(tmp_path / "cache"),
+    )
+    assert per_cat, "expected at least one category"
+    assert all(v < 0.95 for v in per_cat.values()), per_cat
+
+
 def test_verify_fails_on_corrupted_checkpoint(pipeline_dir, tmp_path):
     import shutil
 
