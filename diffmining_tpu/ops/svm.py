@@ -6,10 +6,20 @@ doersch/doersch.py:66-79 `train_svm`). Solves the primal soft-margin problem
 
     min_w,b  0.5·||w||² + C·Σ max(0, 1 − y(w·x + b))
 
-by full-batch subgradient descent with Adam (the datasets are ~25k×2112 — one
-matmul per step on the MXU). Exact libsvm duals and this primal solve agree to
-the tolerance that matters here (the detectors' top-k rankings); the oracle is
-cluster purity, not coefficient equality.
+by full-batch subgradient descent with Adam under a cosine-decayed lr (the
+datasets are ~25k×2112 — one matmul per step on the MXU). The decay is
+load-bearing: with a CONSTANT lr the iterate orbits the optimum at a radius
+set by the lr — measured 93% objective gap at the production-shaped problem
+(2k×2112 real HOG cells, 100:1900 imbalance) vs 0.14% with the decay, same
+step count (test_doersch.py::test_svm_gap_at_production_shape).
+
+Optimality-gap evidence vs the exact in-repo SMO dual solver (fit_svm_smo):
+≤5% objective gap + ≥98% decision agreement asserted at BOTH a small dense
+problem (120×10) and the production-shaped subsample above. Extrapolation
+limit: the SMO oracle is O(n²) so the bound is measured at n=2k, not the full
+25k production solve — the 12.5× larger n changes conditioning only through
+the hinge-term scale, which the decayed-Adam solve handles identically, but
+the bound there is extrapolated, not asserted.
 """
 from __future__ import annotations
 
@@ -32,7 +42,9 @@ def _fit(X: jax.Array, y: jax.Array, sample_mask: jax.Array, C: float, steps: in
         hinge = jnp.sum(jnp.maximum(margins, 0.0) * sample_mask)
         return 0.5 * jnp.sum(w * w) + C * hinge
 
-    tx = optax.adam(lr)
+    # cosine lr decay: constant-lr Adam stalls ~93% above the optimum on
+    # production-shaped problems (module docstring); decaying to 0 converges
+    tx = optax.adam(optax.cosine_decay_schedule(lr, steps))
     params = (jnp.zeros((d,), jnp.float32), jnp.asarray(0.0))
     state = tx.init(params)
 
