@@ -79,10 +79,15 @@ def measure(batch: int, iters: int, warmup: int, dtype=jnp.bfloat16) -> float:
     return batch * iters / dt
 
 
-def measure_e2e_typicality(n_images: int = 16, n_samples: int = 100, image_px: int = 512, chunk: int = 4) -> float:
+def measure_e2e_typicality(
+    n_images: int = 16, n_samples: int = 100, image_px: str = "512",
+    chunk: int = 4, batch: int = 4,
+) -> float:
     """End-to-end typicality throughput (images/hr): VAE encode + N paired
     cond/null UNet sweeps per image, on synthetic data at the production
-    config (BASELINE.md primary metric #2)."""
+    config (BASELINE.md primary metric #2). `image_px` accepts "512" or
+    "HxW" (e.g. "512x768" for the places portrait shape, "1024" for the
+    native-res mining path — long sequences ride the flash kernel)."""
     import numpy as np
 
     from diffmining_tpu.diffusion.schedule import make_schedule
@@ -93,13 +98,15 @@ def measure_e2e_typicality(n_images: int = 16, n_samples: int = 100, image_px: i
     dtype = jnp.bfloat16
     rng = jax.random.PRNGKey(0)
     unet = UNet2DCondition(SD15_UNET, dtype=dtype)
-    lat_shape = (1, image_px // 8, image_px // 8, 4)
+    hw = [int(v) for v in str(image_px).lower().split("x")]
+    h_px, w_px = (hw[0], hw[0]) if len(hw) == 1 else (hw[0], hw[1])
+    lat_shape = (1, h_px // 8, w_px // 8, 4)
     params = unet.init(rng, jnp.zeros(lat_shape, dtype), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768), dtype))
     engine = TypicalityEngine(
         unet=unet, unet_params=params, schedule=make_schedule(),
         n_samples=n_samples, t_min=0.1, t_max=0.7, chunk=chunk, dtype=dtype,
     )
-    B = 4
+    B = batch
     lat = jax.random.normal(rng, (B,) + lat_shape[1:], dtype=jnp.float32)
     ctx = jax.random.normal(rng, (B, 2, 77, 768), dtype=jnp.float32)
     # warm/compile
@@ -144,6 +151,10 @@ def main():
     ap.add_argument("--measure-cpu-baseline", action="store_true")
     ap.add_argument("--e2e", action="store_true", help="end-to-end typicality images/hr")
     ap.add_argument("--e2e-chunk", type=int, default=2, help="samples per sweep step (UNet batch = 4*chunk*2; 16 is the measured v5e optimum)")
+    ap.add_argument("--e2e-px", type=str, default="512",
+                    help='sweep resolution: "512", "512x768" (places portrait), "1024" (native-res mining)')
+    ap.add_argument("--e2e-batch", type=int, default=4, help="images per sweep dispatch")
+    ap.add_argument("--e2e-images", type=int, default=16)
     args = ap.parse_args()
 
     if not args.measure_cpu_baseline:
@@ -162,9 +173,13 @@ def main():
             raise SystemExit(1)
 
     if args.e2e:
-        iph = measure_e2e_typicality(chunk=args.e2e_chunk)
+        iph = measure_e2e_typicality(
+            n_images=args.e2e_images, image_px=args.e2e_px,
+            chunk=args.e2e_chunk, batch=args.e2e_batch,
+        )
+        px_tag = args.e2e_px.replace("x", "_")
         print(json.dumps({
-            "metric": "typicality_images_per_hr_512px_N100",
+            "metric": f"typicality_images_per_hr_{px_tag}px_N100",
             "value": round(iph, 1), "unit": "images/hr", "vs_baseline": None,
         }))
         return

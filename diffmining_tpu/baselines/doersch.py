@@ -479,6 +479,51 @@ class Doersch:
 
     # --- iterative SVM clustering (reference doersch.py:416-498) ---
 
+    def _train_chunk_batched(self, positives, hard_negatives, neg_shards, fold, seed):
+        """One jitted solve for the whole detector chunk
+        (ops/svm.fit_linear_svm_batch) instead of one dispatch per detector.
+
+        Semantics note vs the legacy loop (reference doersch.py:439-455): the
+        legacy path draws an independent ~25k negative sample PER DETECTOR;
+        here ONE shared pool is drawn per fold and detector j uses its first
+        max(25000 - len(hn_j), 10000) rows — same distribution, not the same
+        draw (detector training is stochastic either way; the oracle is
+        cluster purity). The shared pool is what makes the fold a single
+        [M,D]x[D,J] MXU matmul per step rather than J sequential ~200 MB
+        host->device uploads. DIFFMINING_DOERSCH_BATCH_SVM=0 restores the
+        per-detector path."""
+        from diffmining_tpu.ops.svm import fit_linear_svm_batch
+
+        J = len(positives)
+        pool = random_sample(neg_shards, fold=fold, num_samples=25000, seed=seed)
+        pool = np.stack(pool).astype(np.float32)
+        M, D = pool.shape
+        m_counts = [min(M, max(25000 - len(hn), 10000)) for hn in hard_negatives]
+        p_max = max(1, max(len(p) for p in positives))
+        h_max = max(1, max(len(hn) for hn in hard_negatives))
+        P = np.zeros((J, p_max, D), np.float32)
+        Pm = np.zeros((J, p_max), np.float32)
+        HN = np.zeros((J, h_max, D), np.float32)
+        HNm = np.zeros((J, h_max), np.float32)
+        NEGm = np.zeros((J, M), np.float32)
+        for j in range(J):
+            for k, (_s, _bbox, _path, w) in enumerate(positives[j]):
+                P[j, k] = w
+                Pm[j, k] = 1.0
+            for k, hv in enumerate(hard_negatives[j]):
+                HN[j, k] = hv
+                HNm[j, k] = 1.0
+            NEGm[j, : m_counts[j]] = 1.0
+        W, b, scores = fit_linear_svm_batch(P, Pm, HN, HNm, pool, NEGm)
+        # hard-negative mining, train_svm semantics: misclassified negatives
+        # of the detector's OWN active rows, sorted by score desc, capped
+        for j in range(J):
+            s = scores[: m_counts[j], j]
+            idx = np.where(s > 0)[0]
+            idx = idx[np.argsort(-s[idx])][: max(25000 - len(hard_negatives[j]), 10000)]
+            hard_negatives[j] += [pool[i] for i in idx]
+        return W, hard_negatives
+
     def iterative_clustering(self, c: str, l: int = 3, top_k: int = 32, top_elem: int = 7,
                              num_detectors: int = 1000, batch_size: int = 64):
         pos_set = set(self.positive_paths(c))
@@ -498,8 +543,14 @@ class Doersch:
             else:
                 ws = np.stack([w for _k, _p, w in chunk])
                 hard_negatives: List[List] = [[] for _ in range(len(chunk))]
+                use_batch = os.environ.get("DIFFMINING_DOERSCH_BATCH_SVM", "1") != "0"
                 for i in range(l):
                     positives = dense_search(ws, pos_shards, fold=(i + 1, l), top_k=5, ret_ws=True, mesh=self.mesh)
+                    if use_batch:
+                        ws, hard_negatives = self._train_chunk_batched(
+                            positives, hard_negatives, neg_shards, fold=(i + 1, l), seed=i
+                        )
+                        continue
                     negatives = [
                         random_sample(neg_shards, fold=(i + 1, l),
                                       num_samples=max(25000 - len(hn), 10000), seed=i)

@@ -76,6 +76,69 @@ def decision_function(X: np.ndarray, w: np.ndarray, b: float = 0.0) -> np.ndarra
     return np.asarray(X, np.float32) @ np.asarray(w, np.float32) + b
 
 
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _fit_batch(P, Pm, HN, HNm, NEG, NEGm, C: float, steps: int, lr: float):
+    J, _, D = P.shape
+
+    def loss_fn(params):
+        W, b = params  # [J, D], [J]
+        # positives (+1): hinge(1 - (x·w + b))
+        mp = 1.0 - (jnp.einsum("jpd,jd->jp", P, W) + b[:, None])
+        # per-detector hard negatives (-1), padded + masked
+        mh = 1.0 + (jnp.einsum("jhd,jd->jh", HN, W) + b[:, None])
+        # SHARED negative pool (-1): ONE [M, D] x [D, J] matmul on the MXU
+        mn = 1.0 + (NEG @ W.T + b[None, :])  # [M, J]
+        hinge = (
+            jnp.sum(jnp.maximum(mp, 0.0) * Pm)
+            + jnp.sum(jnp.maximum(mh, 0.0) * HNm)
+            + jnp.sum(jnp.maximum(mn, 0.0) * NEGm.T)
+        )
+        return 0.5 * jnp.sum(W * W) + C * hinge
+
+    # summing independent per-detector objectives keeps the solve exactly
+    # per-detector: Adam is elementwise and the parameter blocks are disjoint
+    tx = optax.adam(optax.cosine_decay_schedule(lr, steps))
+    params = (jnp.zeros((J, D), jnp.float32), jnp.zeros((J,), jnp.float32))
+    state = tx.init(params)
+
+    def step(carry, _):
+        params, state = carry
+        g = jax.grad(loss_fn)(params)
+        updates, state = tx.update(g, state)
+        return (optax.apply_updates(params, updates), state), None
+
+    (params, _), _ = jax.lax.scan(step, (params, state), None, length=steps)
+    W, b = params
+    # final decision scores over the shared pool — computed here so the
+    # caller's hard-negative mining needs no second 200 MB upload
+    neg_scores = NEG @ W.T + b[None, :]  # [M, J]
+    return params, neg_scores
+
+
+def fit_linear_svm_batch(
+    P: np.ndarray, P_mask: np.ndarray,
+    HN: np.ndarray, HN_mask: np.ndarray,
+    NEG: np.ndarray, NEG_mask: np.ndarray,
+    C: float = 0.1, steps: int = 400, lr: float = 0.05,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """J independent soft-margin SVMs sharing one negative pool, solved in ONE
+    jitted program (the Doersch iterative round's hot path, baselines/
+    doersch.py): P [J,p,D] padded positives (+1) with mask [J,p], HN [J,h,D]
+    padded per-detector hard negatives (-1) with mask [J,h], NEG [M,D] the
+    shared fold negative pool (-1) with per-detector row mask [J,M]. Returns
+    (W [J,D], b [J], neg_scores [M,J]). Exactly equivalent to J calls of
+    fit_linear_svm on the stacked rows (test_doersch.py pins it) — the point
+    is dispatch/transfer amortization: the legacy path shipped the ~200 MB
+    negative pool to the device once PER DETECTOR."""
+    params, neg_scores = _fit_batch(
+        jnp.asarray(np.asarray(P, np.float32)), jnp.asarray(np.asarray(P_mask, np.float32)),
+        jnp.asarray(np.asarray(HN, np.float32)), jnp.asarray(np.asarray(HN_mask, np.float32)),
+        jnp.asarray(np.asarray(NEG, np.float32)), jnp.asarray(np.asarray(NEG_mask, np.float32)),
+        float(C), int(steps), float(lr),
+    )
+    return np.asarray(params[0]), np.asarray(params[1]), np.asarray(neg_scores)
+
+
 def primal_objective(X: np.ndarray, y: np.ndarray, w: np.ndarray, b: float, C: float) -> float:
     """0.5·||w||² + C·Σ hinge — the quantity both solvers minimize."""
     X = np.asarray(X, np.float64)

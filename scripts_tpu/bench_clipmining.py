@@ -11,7 +11,11 @@ projected per-country encode time (1k gt images/country, the mining k).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -110,6 +110,41 @@ def test_svm_optimality_gap_vs_exact_smo():
     assert agree >= 0.98
 
 
+def test_svm_batch_matches_per_detector_fit():
+    """fit_linear_svm_batch (the Doersch chunk solve — one jitted program for
+    J detectors sharing a negative pool) must equal J independent
+    fit_linear_svm calls on the stacked rows: summed objectives + elementwise
+    Adam over disjoint parameter blocks is exactly the per-detector solve."""
+    from diffmining_tpu.ops.svm import fit_linear_svm_batch
+
+    rng = np.random.RandomState(0)
+    J, D, M = 3, 12, 40
+    NEG = rng.randn(M, D).astype(np.float32)
+    p_counts, h_counts, m_counts = [3, 5, 1], [0, 2, 4], [40, 30, 35]
+    P = np.zeros((J, 5, D), np.float32)
+    Pm = np.zeros((J, 5), np.float32)
+    HN = np.zeros((J, 4, D), np.float32)
+    HNm = np.zeros((J, 4), np.float32)
+    NEGm = np.zeros((J, M), np.float32)
+    for j in range(J):
+        P[j, : p_counts[j]] = rng.randn(p_counts[j], D) + 1.0
+        Pm[j, : p_counts[j]] = 1.0
+        HN[j, : h_counts[j]] = rng.randn(h_counts[j], D) - 1.0
+        HNm[j, : h_counts[j]] = 1.0
+        NEGm[j, : m_counts[j]] = 1.0
+    W, b, scores = fit_linear_svm_batch(P, Pm, HN, HNm, NEG, NEGm)
+    assert scores.shape == (M, J)
+    for j in range(J):
+        X = np.concatenate([P[j, : p_counts[j]], HN[j, : h_counts[j]], NEG[: m_counts[j]]])
+        y = np.asarray([1.0] * p_counts[j] + [-1.0] * (h_counts[j] + m_counts[j]), np.float32)
+        w_ref, b_ref = fit_linear_svm(X, y, C=0.1)
+        np.testing.assert_allclose(W[j], w_ref, rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(b[j], b_ref, rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(
+            scores[:, j], decision_function(NEG, W[j], b[j]), rtol=1e-4, atol=1e-5
+        )
+
+
 @pytest.mark.slow
 def test_svm_gap_at_production_shape():
     """The gap bound at the shape the product actually solves (VERDICT r3
@@ -249,3 +284,12 @@ def test_doersch_mini_end_to_end(mini_dataset, tmp_path):
     plot = d.plot_detectors("1930")
     assert plot is not None and plot.width > 0
     assert os.path.isfile(join(out, "plots", "50", "detectors", "init.png"))
+
+
+def test_doersch_legacy_svm_path(mini_dataset, tmp_path, monkeypatch):
+    """DIFFMINING_DOERSCH_BATCH_SVM=0 keeps the reference-shaped per-detector
+    loop alive (the batched chunk solve is the default)."""
+    monkeypatch.setenv("DIFFMINING_DOERSCH_BATCH_SVM", "0")
+    d = Doersch(str(tmp_path / "run"), "ftt", mini_dataset, how_many=6, threshold=50)
+    img = d.get_top("1930", top_k=3, top_elem=3)
+    assert img.width > 0
