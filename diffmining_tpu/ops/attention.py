@@ -72,6 +72,28 @@ def sdpa_xla(
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
+def _auto_use_pallas(q_shape, k_shape, on_tpu: bool) -> bool:
+    """The measured auto-dispatch gate (v5e, see BENCH_NOTES.md):
+
+    * self-attention L >= 1024 (crossover with 1024-blocks, B16 bf16:
+      L1024 D80 pallas 1.34 vs XLA 2.13 ms; L4096 D40 10.9 vs 11.0;
+      L256 D160 XLA wins 0.62 vs 0.72);
+    * head dim <= 160 — the UNet head dims (40/80/160) the kernel was
+      tuned and measured at. The VAE mid-block attention is single-head
+      D=512 (models/vae.py) and at that width the kernel's K/V + fp32
+      accumulator blocks exceed the 16 MB scoped-VMEM limit — a COMPILE
+      time failure the call-site try/except cannot catch (the pallas_call
+      traces fine; the remote TPU compile then OOMs VMEM). XLA handles
+      the wide single-head shape well; keep it there.
+    """
+    return (
+        on_tpu
+        and q_shape[2] >= 1024
+        and q_shape[2] == k_shape[2]
+        and q_shape[3] <= 160
+    )
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,
@@ -86,14 +108,7 @@ def sdpa(
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
             on_tpu = False
-        # self-attention L >= 1024: the measured crossover with 1024-blocks
-        # (v5e B16 bf16): L1024 D80 pallas 1.34 vs XLA 2.13 ms; L4096 D40
-        # 10.9 vs 11.0; L256 D160 XLA wins 0.62 vs 0.72 — see BENCH_NOTES.md
-        use_pallas = (
-            on_tpu
-            and q.shape[2] >= 1024
-            and q.shape[2] == k.shape[2]
-        )
+        use_pallas = _auto_use_pallas(q.shape, k.shape, on_tpu)
     if use_pallas and mask is None:
         try:
             from diffmining_tpu.ops.flash_attention import flash_attention, flash_attention_t

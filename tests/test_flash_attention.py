@@ -212,3 +212,24 @@ def test_flash_large_l_block_regime(l):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(flash_attention(q, k, v))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_auto_gate_head_dim_bound():
+    """The auto dispatcher must NOT route wide-head attention to the pallas
+    kernel: the VAE mid-block single-head D=512 shape (models/vae.py:59-74)
+    overruns the 16 MB scoped-VMEM limit at COMPILE time, which the sdpa()
+    trace-time try/except cannot catch (observed: bench_dift VMEM OOM
+    through the remote compile tunnel, round 4)."""
+    from diffmining_tpu.ops.attention import _auto_use_pallas
+
+    # UNet self-attention shapes: pallas wins, gate opens
+    assert _auto_use_pallas((16, 8, 4096, 40), (16, 8, 4096, 40), on_tpu=True)
+    assert _auto_use_pallas((16, 8, 1024, 80), (16, 8, 1024, 80), on_tpu=True)
+    assert _auto_use_pallas((16, 8, 1024, 160), (16, 8, 1024, 160), on_tpu=True)
+    # VAE mid-attention: single head, D=512 -> XLA
+    assert not _auto_use_pallas((1, 1, 4096, 512), (1, 1, 4096, 512), on_tpu=True)
+    assert not _auto_use_pallas((8, 1, 4096, 512), (8, 1, 4096, 512), on_tpu=True)
+    # cross-attention (Lq != Lk) and short L stay on XLA; CPU never pallas
+    assert not _auto_use_pallas((16, 8, 4096, 40), (16, 8, 77, 40), on_tpu=True)
+    assert not _auto_use_pallas((16, 8, 256, 160), (16, 8, 256, 160), on_tpu=True)
+    assert not _auto_use_pallas((16, 8, 4096, 40), (16, 8, 4096, 40), on_tpu=False)
