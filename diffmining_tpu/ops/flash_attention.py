@@ -33,25 +33,31 @@ LN2 = 0.6931471805599453
 _BF16_EXP = _os.environ.get("DIFFMINING_FLASH_BF16_EXP", "0") == "1"
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, kv_len, block_k, masked):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, acc_ref, *, kv_len, block_k, masked):
     # q arrives PRE-SCALED (scale folded into q outside the kernel: one
     # [L,D] multiply replaces a [bq,bk] multiply per block pair — the kernel
     # is VPU-bound in the softmax elementwise chain, so every per-logit op
     # counts). `masked` is static: self-attention at power-of-two L has no
     # key padding, and the iota+compare+select chain (3 VPU ops/logit) is
     # ~25% of the kernel's VPU work.
+    #
+    # The softmax denominator rides the PV matmul: v arrives with a ones
+    # COLUMN appended on the head axis (caller), so column d of the
+    # [bq, d+1] PV product is the row-sum of p and acc's alpha-rescale keeps
+    # it correct across k blocks — the [bq, bk] VPU sum-reduce and the l
+    # scratch are gone. Free on the MXU: the output pads to 128 lanes at
+    # D=40/80/160 regardless (see _flash_kernel_t).
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]  # [bq, d]
     k = k_ref[0]  # [bk, d]
-    v = v_ref[0]  # [bk, d]
+    v = v_ref[0]  # [bk, d+1] (last column = ones)
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
@@ -60,29 +66,26 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
         logits = jnp.where(col < kv_len, logits, NEG_INF)
 
     m_prev = m_ref[...]  # [bq, 1]
-    l_prev = l_ref[...]
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
     if _BF16_EXP:
-        # bf16 exp halves the elementwise bytes; m/l stay fp32 and the
+        # bf16 exp halves the elementwise bytes; m stays fp32 and the MXU
         # row-sum accumulates fp32 (measured ~-3%; off by default pending a
         # fidelity check at sweep scale)
         p = jnp.exp2((logits - m_new).astype(jnp.bfloat16))
-        row_sum = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
     else:
         p = jnp.exp2(logits - m_new)
-        row_sum = jnp.sum(p, axis=-1, keepdims=True)
-    l_ref[...] = alpha * l_prev + row_sum
     m_ref[...] = m_new
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    )  # [bq, d+1]; column d accumulates l
 
     @pl.when(j == nj - 1)
     def _finish():
-        l_safe = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        acc = acc_ref[...]
+        l_safe = jnp.maximum(acc[:, -1:], 1e-30)
+        o_ref[0] = (acc[:, :-1] / l_safe).astype(o_ref.dtype)
         # m is a base-2 logit; emit the NATURAL logsumexp for the backward
         lse_ref[0] = m_ref[...] * LN2 + jnp.log(l_safe)
 
@@ -124,7 +127,10 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None, return_lse=F
     qs = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(b * h, lq, d)
     qq = _pad_to(qs, 1, block_q)
     kk = _pad_to(k.reshape(b * h, lk, d), 1, block_k)
+    # ones column on the head axis: PV's column d accumulates the softmax
+    # denominator on the MXU (see _flash_kernel)
     vv = _pad_to(v.reshape(b * h, lk, d), 1, block_k)
+    vv = jnp.concatenate([vv, jnp.ones((*vv.shape[:2], 1), vv.dtype)], axis=2)
     bh, lq_p, dp = qq.shape
     lk_p = kk.shape[1]
 
@@ -141,7 +147,7 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None, return_lse=F
             in_specs=[
                 pl.BlockSpec((1, block_q, dp), lambda bb, i, j: (bb, i, 0)),
                 pl.BlockSpec((1, block_k, dp), lambda bb, i, j: (bb, j, 0)),
-                pl.BlockSpec((1, block_k, dp), lambda bb, i, j: (bb, j, 0)),
+                pl.BlockSpec((1, block_k, dp + 1), lambda bb, i, j: (bb, j, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, block_q, dp), lambda bb, i, j: (bb, i, 0)),
@@ -149,8 +155,7 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None, return_lse=F
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, 1), jnp.float32),  # m
-                pltpu.VMEM((block_q, 1), jnp.float32),  # l
-                pltpu.VMEM((block_q, dp), jnp.float32),  # acc
+                pltpu.VMEM((block_q, dp + 1), jnp.float32),  # acc (+l column)
             ],
         ),
         compiler_params=pltpu.CompilerParams(
@@ -163,25 +168,33 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None, return_lse=F
     return o
 
 
-def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, kv_len, block_k, masked):
+def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, kv_len, block_k, masked):
     # Transposed-operand variant: refs are [1, D, block] with the SEQUENCE on
     # the lane (minor) axis — the layout XLA's qkv projections naturally emit
     # (the fused dot produces L-in-lanes; feeding the default-layout kernel
     # costs a ~0.27 ms HBM transpose-copy per operand per layer, profiled in
     # BENCH_NOTES). Same online softmax; logits contract dim 0 of both
     # operands, AV contracts the k axis of both.
+    #
+    # The softmax denominator rides the PV matmul: v arrives with a ones row
+    # appended on the head axis (caller), so column d of the [bq, d+1] PV
+    # product IS the row-sum of p, and the online alpha-rescale of acc keeps
+    # it correct across k blocks — no VPU row-sum, no separate l scratch.
+    # At D=40/80/160 the extra lane is free (the MXU pads the output to 128
+    # lanes regardless); the kernel is VPU-bound in the softmax chain, so
+    # dropping the [bq, bk] sum-reduce is a real win (~1 of the ~5 VPU ops
+    # per logit).
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     qt = q_ref[0]  # [d, bq]
     kt = k_ref[0]  # [d, bk]
-    vt = v_ref[0]  # [d, bk]
+    vt = v_ref[0]  # [d+1, bk] (last row = ones)
     logits = jax.lax.dot_general(
         qt, kt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
@@ -190,26 +203,23 @@ def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, kv_len
         logits = jnp.where(col < kv_len, logits, NEG_INF)
 
     m_prev = m_ref[...]
-    l_prev = l_ref[...]
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
     if _BF16_EXP:
         p = jnp.exp2((logits - m_new).astype(jnp.bfloat16))
-        row_sum = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
     else:
         p = jnp.exp2(logits - m_new)
-        row_sum = jnp.sum(p, axis=-1, keepdims=True)
-    l_ref[...] = alpha * l_prev + row_sum
     m_ref[...] = m_new
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(vt.dtype), vt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bq, d]
+    )  # [bq, d+1]; column d accumulates l
 
     @pl.when(j == nj - 1)
     def _finish():
-        l_safe = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0] = (acc_ref[...] / l_safe).T.astype(o_ref.dtype)  # [d, bq]
+        acc = acc_ref[...]
+        l_safe = jnp.maximum(acc[:, -1:], 1e-30)
+        o_ref[0] = (acc[:, :-1] / l_safe).T.astype(o_ref.dtype)  # [d, bq]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -248,7 +258,12 @@ def _flash_forward_t(qt, kt, vt, scale=None, block_q=None, block_k=None):
     qs = (qt * jnp.asarray(scale * LOG2E, qt.dtype)).reshape(b * h, d, lq)
     qq = _pad_to(qs, 2, block_q)
     kk = _pad_to(kt.reshape(b * h, d, lk), 2, block_k)
+    # ones row on the head axis: the PV matmul's column d accumulates the
+    # softmax denominator on the MXU (see _flash_kernel_t). The pad is one
+    # extra sublane on a dim already tile-padded in VMEM, and XLA fuses the
+    # concat into the v producer.
     vv = _pad_to(vt.reshape(b * h, d, lk), 2, block_k)
+    vv = jnp.concatenate([vv, jnp.ones((b * h, 1, vv.shape[2]), vv.dtype)], axis=1)
     bh, dp, lq_p = qq.shape
     lk_p = kk.shape[2]
 
@@ -262,13 +277,12 @@ def _flash_forward_t(qt, kt, vt, scale=None, block_q=None, block_k=None):
             in_specs=[
                 pl.BlockSpec((1, dp, block_q), lambda bb, i, j: (bb, 0, i)),
                 pl.BlockSpec((1, dp, block_k), lambda bb, i, j: (bb, 0, j)),
-                pl.BlockSpec((1, dp, block_k), lambda bb, i, j: (bb, 0, j)),
+                pl.BlockSpec((1, dp + 1, block_k), lambda bb, i, j: (bb, 0, j)),
             ],
             out_specs=pl.BlockSpec((1, dp, block_q), lambda bb, i, j: (bb, 0, i)),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 1), jnp.float32),  # m
-                pltpu.VMEM((block_q, 1), jnp.float32),  # l
-                pltpu.VMEM((block_q, dp), jnp.float32),  # acc
+                pltpu.VMEM((block_q, dp + 1), jnp.float32),  # acc (+l column)
             ],
         ),
         compiler_params=pltpu.CompilerParams(

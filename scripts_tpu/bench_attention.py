@@ -81,10 +81,11 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--grad", action="store_true")
     ap.add_argument("--shapes", type=str, default=None, help="H,L,D[;H,L,D...] override")
+    ap.add_argument("--tlayout", action="store_true", help="bench flash_attention_t on [B,H,D,L] operands (inference layout) instead of the standard kernel")
     args = ap.parse_args()
 
     from diffmining_tpu.ops.attention import sdpa_xla
-    from diffmining_tpu.ops.flash_attention import flash_attention
+    from diffmining_tpu.ops.flash_attention import flash_attention, flash_attention_t
 
     shapes = SHAPES
     if args.shapes:
@@ -92,9 +93,16 @@ def main():
 
     runner = bench_grad if args.grad else bench
     mode = "fwd+bwd" if args.grad else "fwd"
-    print(f"backend={jax.default_backend()} batch={args.batch} mode={mode}")
+    print(f"backend={jax.default_backend()} batch={args.batch} mode={mode} tlayout={args.tlayout}")
     for h, l, d in shapes:
         k = jax.random.PRNGKey(0)
+        if args.tlayout:
+            qt = jax.random.normal(k, (args.batch, h, d, l), jnp.bfloat16)
+            kt = jax.random.normal(k, (args.batch, h, d, l), jnp.bfloat16)
+            vt = jax.random.normal(k, (args.batch, h, d, l), jnp.bfloat16)
+            pallas_ms = runner(flash_attention_t, (qt, kt, vt), args.iters)
+            print(f"H{h} L{l} D{d}: pallas_t {pallas_ms:.2f} ms")
+            continue
         q = jax.random.normal(k, (args.batch, h, l, d), jnp.bfloat16)
         kk = jax.random.normal(k, (args.batch, h, l, d), jnp.bfloat16)
         v = jax.random.normal(k, (args.batch, h, l, d), jnp.bfloat16)
