@@ -73,9 +73,15 @@ class PNP:
         if dedup_prefix is None:
             # the CFG pass feeds IDENTICAL latents to its uncond and cond
             # halves, so the sweep's ctx_tile prefix dedup applies here too
-            # (PnP taps are batch-1 and broadcast, so injection composes);
-            # DIFFMINING_PNP_DEDUP=0 reverts to the up-front 2B tile
-            dedup_prefix = os.environ.get("DIFFMINING_PNP_DEDUP", "1") != "0"
+            # (PnP taps are batch-1 and broadcast, so injection composes) —
+            # but MEASURED OFF by default: at the 10-target translate the
+            # dedup program is ~25% SLOWER (16.8/17.9 s vs 13.3 s, two ON
+            # samples vs OFF, v5e 512px — BENCH_NOTES round 4). Unlike the
+            # sweep (+3.75% at its 8x2 batch), the 10-row prefix breaks
+            # 8-sublane alignment and the interleaved eps[0::2]/[1::2] split
+            # adds strided copies that outweigh the 2.5% FLOP saving.
+            # DIFFMINING_PNP_DEDUP=1 re-enables.
+            dedup_prefix = os.environ.get("DIFFMINING_PNP_DEDUP", "0") == "1"
         self.dedup_prefix = bool(dedup_prefix)
         self._eps_fn = jax.jit(lambda p, x, t, c: sd.unet.apply(p, x.astype(sd.dtype), t, c.astype(sd.dtype)))
         self._invert = jax.jit(

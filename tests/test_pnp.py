@@ -56,14 +56,16 @@ def test_reconstruct(pnp):
 
 
 def test_cfg_prefix_dedup_matches_tiled(pnp):
-    """The ctx_tile=2 CFG pass (default) must equal the up-front [x;x] tile —
-    taps are batch-1 so injection broadcasts identically in both layouts."""
+    """The ctx_tile=2 CFG pass must equal the up-front [x;x] tile — taps are
+    batch-1 so injection broadcasts identically in both layouts. (Dedup is
+    default-OFF since round 4 — measured ~25% slower at the 10-target
+    translate, BENCH_NOTES — so the dedup variant is constructed explicitly.)"""
     p, _ = pnp
-    assert p.dedup_prefix  # default ON
+    assert not p.dedup_prefix  # default OFF (measured e2e regression)
     a = p.generate(["France", "Japan"])
-    off = PNP(p.sd, inversion_steps=6, n_timesteps=4, dedup_prefix=False)
-    off._trajectory, off._source_latent = p._trajectory, p._source_latent
-    b = off.generate(["France", "Japan"])
+    on = PNP(p.sd, inversion_steps=6, n_timesteps=4, dedup_prefix=True)
+    on._trajectory, on._source_latent = p._trajectory, p._source_latent
+    b = on.generate(["France", "Japan"])
     for x, y in zip(a, b):
         assert np.abs(np.asarray(x, np.int16) - np.asarray(y, np.int16)).max() <= 1
 
