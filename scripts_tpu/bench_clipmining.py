@@ -38,8 +38,8 @@ def main():
     else:
         # ViT-L/14 geometry (StreetCLIP / clip-vit-large-patch14)
         vision = CLIPVisionModel(CLIPVisionConfig(
-            hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
-            num_attention_heads=16, image_size=args.px, patch_size=14,
+            hidden_size=1024, intermediate_size=4096, num_layers=24,
+            num_heads=16, image_size=args.px, patch_size=14,
         ))
     rng = jax.random.PRNGKey(0)
     params = vision.init(rng, jnp.zeros((1, args.px, args.px, 3)))
