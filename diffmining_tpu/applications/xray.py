@@ -128,7 +128,7 @@ def load_paths(gt_path: str, diseases: Sequence[str], seed: int = 42):
 
 class XRayTypicality:
     def __init__(self, sd: SD, gt_path: str, output_path: str, diseases: Sequence[str] = DISEASES,
-                 seed: int = 42, N: int = 100, blur: bool = False, mesh=None):
+                 seed: int = 42, N: int = 100, blur: bool = False, mesh=None, chunk: int = 3):
         self.sd = sd
         self.output_path = output_path
         self.diseases = sorted(diseases)
@@ -136,9 +136,12 @@ class XRayTypicality:
         self.N = N
         self.blur = blur
         self.parent = load_paths(gt_path, self.diseases, seed)
+        # chunk=3 with batch_images=4 (UNet batch 24) is the measured 1024px
+        # optimum — the 512px optimum of 16 does not transfer to L=16384
+        # sequences (BENCH_NOTES bench_xray table)
         self.engine = TypicalityEngine(
             unet=sd.unet, unet_params=sd.sweep_params(mesh), cast_params=False,
-            schedule=sd.schedule, mesh=mesh,
+            schedule=sd.schedule, mesh=mesh, chunk=chunk,
             seed=seed, n_samples=N, t_min=0.0, t_max=1.0, dtype=sd.dtype,
         )
         # embeddings: [disease..., "no finding", ""] all embedded once
@@ -352,6 +355,9 @@ def main(argv=None):
     p.add_argument("-m", "--model_path", default="models/CXR8")
     p.add_argument("--N", type=int, default=100)
     p.add_argument("--batch_images", type=int, default=4)
+    p.add_argument("--chunk", type=int, default=3,
+                   help="samples per scan step (UNet batch = batch_images*chunk*2; "
+                        "4x3 is the measured 1024px optimum, BENCH_NOTES)")
     p.add_argument("--blur", action="store_true")
     p.add_argument("--compare", nargs=2, default=None, metavar=("PT", "FT"))
     p.add_argument(
@@ -378,6 +384,7 @@ def main(argv=None):
     sd = SD.from_pipeline_dir("xray", model_path, [])
     XRayTypicality(
         sd, args.gt_path, args.output_path, DISEASES, N=args.N, blur=args.blur, mesh=mesh,
+        chunk=args.chunk,
     ).main(batch_images=args.batch_images)
 
 

@@ -103,6 +103,9 @@ import os
 
 _BLOCK_Q = int(os.environ.get("DIFFMINING_FLASH_BLOCK_Q", "1024"))
 _BLOCK_K = int(os.environ.get("DIFFMINING_FLASH_BLOCK_K", "1024"))
+# no-max one-shot softmax when the whole key row is one k block (see
+# _flash_kernel_t_1shot); default pending the bench.py measurement
+_ONESHOT = os.environ.get("DIFFMINING_FLASH_ONESHOT", "0") != "0"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -222,6 +225,35 @@ def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, kv_len, block
         o_ref[0] = (acc[:, :-1] / l_safe).T.astype(o_ref.dtype)  # [d, bq]
 
 
+def _flash_kernel_t_1shot(q_ref, k_ref, v_ref, o_ref, *, kv_len, masked):
+    # Single-k-block specialization: the FULL key row is resident in VMEM
+    # (the >=4096 block switch below picks full-row k blocks anyway), so the
+    # online-softmax machinery — running max, subtract, alpha rescale, m/acc
+    # scratch — is pure VPU overhead. exp2 WITHOUT the max shift is
+    # mathematically identical after the ones-column denominator division
+    # and fp32-safe while |natural logit| < 88 (exp2 argument < 127; UNet
+    # attention logits are O(10) — GroupNorm'd activations through bounded
+    # projections; fidelity pinned at adversarial scale in
+    # tests/test_flash_attention.py). Masked pad columns hit
+    # exp2(NEG_INF) = 0 exactly, so masking needs no max either.
+    # Saves ~2 of the ~4 VPU passes per logit in a VPU-bound kernel.
+    qt = q_ref[0]  # [d, bq]
+    kt = k_ref[0]  # [d, bk]
+    vt = v_ref[0]  # [d+1, bk] (last row = ones)
+    logits = jax.lax.dot_general(
+        qt, kt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, NEG_INF)
+    p = jnp.exp2(logits)
+    pv = jax.lax.dot_general(
+        p.astype(vt.dtype), vt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, d+1]; column d is the softmax denominator
+    l_safe = jnp.maximum(pv[:, -1:], 1e-30)
+    o_ref[0] = (pv[:, :-1] / l_safe).T.astype(o_ref.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention_t(qt, kt, vt, scale=None):
     """Flash attention on transposed operands (sequence on lanes).
@@ -266,6 +298,27 @@ def _flash_forward_t(qt, kt, vt, scale=None, block_q=None, block_k=None):
     vv = jnp.concatenate([vv, jnp.ones((b * h, 1, vv.shape[2]), vv.dtype)], axis=1)
     bh, dp, lq_p = qq.shape
     lk_p = kk.shape[2]
+
+    if lk_p == block_k and _ONESHOT:
+        # single k block: the no-max specialization (see _flash_kernel_t_1shot)
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel_t_1shot, kv_len=lk, masked=lk != lk_p),
+            out_shape=jax.ShapeDtypeStruct((bh, dp, lq_p), qt.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(bh, lq_p // block_q),
+                in_specs=[
+                    pl.BlockSpec((1, dp, block_q), lambda bb, i: (bb, 0, i)),
+                    pl.BlockSpec((1, dp, block_k), lambda bb, i: (bb, 0, 0)),
+                    pl.BlockSpec((1, dp + 1, block_k), lambda bb, i: (bb, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, dp, block_q), lambda bb, i: (bb, 0, i)),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+        )(qq, kk, vv)
+        return out[:, :, :lq].reshape(b, h, d, lq)
 
     grid = (bh, lq_p // block_q, lk_p // block_k)
     out = pl.pallas_call(

@@ -199,6 +199,37 @@ def flash_attention_t_roundtrip(q, k, v):
     return o_t.transpose(0, 1, 3, 2)
 
 
+@pytest.mark.parametrize(
+    "b,h,lq,lk,d,logit_scale",
+    [
+        (1, 2, 256, 256, 40, 1.0),    # self-attn, single k block
+        (1, 2, 256, 77, 80, 1.0),     # masked kv padding (exp2(NEG_INF)=0 path)
+        (2, 1, 130, 130, 64, 1.0),    # non-multiple seq length
+        (1, 1, 256, 256, 40, 12.0),   # adversarial: natural logits ~±55, near
+                                      # the |logit|<88 fp32-exp2 envelope edge;
+                                      # beyond 88 the kernel overflows BY DESIGN
+    ],
+)
+def test_oneshot_nomax_matches_standard(b, h, lq, lk, d, logit_scale, monkeypatch):
+    """DIFFMINING_FLASH_ONESHOT: when the whole key row is one k block the
+    transposed kernel drops the online max/rescale and computes
+    exp2(logits)/sum — identical softmax as long as |natural logit| < 88
+    (flash_attention.py:_flash_kernel_t_1shot). Pin equality vs XLA at
+    normal AND adversarial logit magnitude."""
+    import diffmining_tpu.ops.flash_attention as fa
+
+    rng = np.random.RandomState(7)
+    # scale q ONLY: natural-logit std ≈ logit_scale (q·k ~ N(0, s²d), ÷√d)
+    q = jnp.asarray(rng.randn(b, h, lq, d) * logit_scale, jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
+    want = np.asarray(sdpa_xla(q, k, v))
+    monkeypatch.setattr(fa, "_ONESHOT", True)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention_t_roundtrip(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("l", [4096, 20480])
 def test_flash_large_l_block_regime(l):
     """The >=4096 block-shape switch (512x4096 full-row k blocks) and the
