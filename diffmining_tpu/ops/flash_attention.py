@@ -270,7 +270,9 @@ def flash_attention_t(qt, kt, vt, scale=None):
     return _flash_forward_t(qt, kt, vt, scale)
 
 
-def _flash_forward_t(qt, kt, vt, scale=None, block_q=None, block_k=None):
+def _flash_forward_t(qt, kt, vt, scale=None, block_q=None, block_k=None, oneshot=None):
+    # oneshot: None = auto (env gate + long-L regime); True/False forces the
+    # single-k-block no-max kernel on/off (tests exercise it at small shapes)
     b, h, d, lq = qt.shape
     lk = kt.shape[3]
     scale = scale if scale is not None else 1.0 / (d**0.5)
@@ -299,7 +301,12 @@ def _flash_forward_t(qt, kt, vt, scale=None, block_q=None, block_k=None):
     bh, dp, lq_p = qq.shape
     lk_p = kk.shape[2]
 
-    if lk_p == block_k and _ONESHOT:
+    # one-shot applies only in the long-L full-row-k regime: measured −3.9%
+    # at L4096 (8.13 -> 7.81 ms) but +27% at L1024/L256, where the no-scratch
+    # kernel pipelines worse at small grids (BENCH_NOTES round-4c)
+    if oneshot is None:
+        oneshot = _ONESHOT and lq >= 4096
+    if lk_p == block_k and oneshot:
         # single k block: the no-max specialization (see _flash_kernel_t_1shot)
         out = pl.pallas_call(
             functools.partial(_flash_kernel_t_1shot, kv_len=lk, masked=lk != lk_p),

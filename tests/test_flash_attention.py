@@ -210,12 +210,13 @@ def flash_attention_t_roundtrip(q, k, v):
                                       # beyond 88 the kernel overflows BY DESIGN
     ],
 )
-def test_oneshot_nomax_matches_standard(b, h, lq, lk, d, logit_scale, monkeypatch):
+def test_oneshot_nomax_matches_standard(b, h, lq, lk, d, logit_scale):
     """DIFFMINING_FLASH_ONESHOT: when the whole key row is one k block the
     transposed kernel drops the online max/rescale and computes
     exp2(logits)/sum — identical softmax as long as |natural logit| < 88
     (flash_attention.py:_flash_kernel_t_1shot). Pin equality vs XLA at
-    normal AND adversarial logit magnitude."""
+    normal AND adversarial logit magnitude. oneshot=True forces the kernel
+    at these small shapes (the product gate only engages at L>=4096)."""
     import diffmining_tpu.ops.flash_attention as fa
 
     rng = np.random.RandomState(7)
@@ -224,9 +225,12 @@ def test_oneshot_nomax_matches_standard(b, h, lq, lk, d, logit_scale, monkeypatc
     k = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
     v = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
     want = np.asarray(sdpa_xla(q, k, v))
-    monkeypatch.setattr(fa, "_ONESHOT", True)
     with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(flash_attention_t_roundtrip(q, k, v))
+        o_t = fa._flash_forward_t(
+            q.transpose(0, 1, 3, 2), k.transpose(0, 1, 3, 2), v.transpose(0, 1, 3, 2),
+            oneshot=True,
+        )
+    got = np.asarray(o_t.transpose(0, 1, 3, 2))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
