@@ -104,8 +104,9 @@ import os
 _BLOCK_Q = int(os.environ.get("DIFFMINING_FLASH_BLOCK_Q", "1024"))
 _BLOCK_K = int(os.environ.get("DIFFMINING_FLASH_BLOCK_K", "1024"))
 # no-max one-shot softmax when the whole key row is one k block (see
-# _flash_kernel_t_1shot); default pending the bench.py measurement
-_ONESHOT = os.environ.get("DIFFMINING_FLASH_ONESHOT", "0") != "0"
+# _flash_kernel_t_1shot): "0" = off, "1" = long-L (lq>=4096) only,
+# "all" = every single-k-block shape; default pending the bench.py A/B
+_ONESHOT = os.environ.get("DIFFMINING_FLASH_ONESHOT", "0")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -305,7 +306,7 @@ def _flash_forward_t(qt, kt, vt, scale=None, block_q=None, block_k=None, oneshot
     # at L4096 (8.13 -> 7.81 ms) but +27% at L1024/L256, where the no-scratch
     # kernel pipelines worse at small grids (BENCH_NOTES round-4c)
     if oneshot is None:
-        oneshot = _ONESHOT and lq >= 4096
+        oneshot = _ONESHOT == "all" or (_ONESHOT == "1" and lq >= 4096)
     if lk_p == block_k and oneshot:
         # single k block: the no-max specialization (see _flash_kernel_t_1shot)
         out = pl.pallas_call(
