@@ -105,8 +105,13 @@ _BLOCK_Q = int(os.environ.get("DIFFMINING_FLASH_BLOCK_Q", "1024"))
 _BLOCK_K = int(os.environ.get("DIFFMINING_FLASH_BLOCK_K", "1024"))
 # no-max one-shot softmax when the whole key row is one k block (see
 # _flash_kernel_t_1shot): "0" = off, "1" = long-L (lq>=4096) only,
-# "all" = every single-k-block shape; default pending the bench.py A/B
-_ONESHOT = os.environ.get("DIFFMINING_FLASH_ONESHOT", "0")
+# "all" = every single-k-block shape. Default "all" per the repeated
+# in-context A/B (headline 141.12/141.09 vs long-L 140.24/139.97 vs off
+# 137.67 passes/s; e2e 2,656 vs 2,644 vs 2,595 imgs/hr — BENCH_NOTES
+# round-4c). The isolated L1024/L256 microbench regression does NOT
+# reproduce in-context: those levels are a small share of pass time and
+# the no-scratch kernel schedules better inside the full program.
+_ONESHOT = os.environ.get("DIFFMINING_FLASH_ONESHOT", "all")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
