@@ -444,6 +444,7 @@ class Typicality:
         sd: Optional[SD] = None,
         N: int = 100,
         batch_images: int = 8,
+        chunk: int = 1,
         bucket_size: Optional[int] = None,
         mesh=None,
         native_res: bool = False,
@@ -464,8 +465,8 @@ class Typicality:
         self.D = {
             c: D(
                 self.sd, join(typicality_path, c), which=which, t_min=t_min, t_max=t_max,
-                N=N, batch_images=batch_images, bucket_size=bucket_size, mesh=mesh,
-                native_res=native_res,
+                N=N, batch_images=batch_images, chunk=chunk,
+                bucket_size=bucket_size, mesh=mesh, native_res=native_res,
             )
             for c in self.categories()
         }
@@ -638,6 +639,14 @@ def main(argv=None):
     parser.add_argument("--t_max", type=float, default=0.9)
     parser.add_argument("--N", type=int, default=100)
     parser.add_argument("--batch_images", type=int, default=8)
+    parser.add_argument(
+        "--chunk", type=int, default=1,
+        help="(image, sample) pairs per scan step; per-step UNet batch = "
+        "batch_images*chunk*2. Default 1 with batch_images 8 (UNet batch 16) "
+        "is the measured 512px v5e optimum; at 1024px --native_res the "
+        "measured optimum is --batch_images 4 --chunk 3 (UNet batch 24: "
+        "349 vs 330 imgs/hr — BENCH_NOTES round-4d)",
+    )
     parser.add_argument("--bucket_size", type=int, default=None)
     parser.add_argument(
         "--native_res", action="store_true",
@@ -702,7 +711,8 @@ def main(argv=None):
     typ = Typicality(
         args.which, model_path, args.dataset_path, args.typicality_path,
         t_min=args.t_min, t_max=args.t_max, N=args.N,
-        batch_images=args.batch_images, bucket_size=args.bucket_size, mesh=mesh,
+        batch_images=args.batch_images, chunk=args.chunk,
+        bucket_size=args.bucket_size, mesh=mesh,
         native_res=args.native_res,
         dtype={"bf16": jnp.bfloat16, "fp32": jnp.float32}[args.dtype],
     )
