@@ -38,7 +38,9 @@ from diffmining_tpu.ops.norm import group_norm
 import jax
 import jax.numpy as jnp
 
-from diffmining_tpu.ops.attention import merge_heads, sdpa, split_heads
+import os as _os
+
+from diffmining_tpu.ops.attention import merge_heads, sdpa, sdpa_cbl, split_heads
 
 Injection = Dict[str, Any]  # value, or (value, scalar-bool gate)
 
@@ -167,6 +169,57 @@ class ResnetBlock(nn.Module):
         return x + h
 
 
+class DenseT(nn.Module):
+    """nn.Dense twin for channel-major activations.
+
+    Same param names/shapes as nn.Dense (kernel [in, features], optional bias
+    [features]) so the tree is checkpoint/convert-identical; computes
+    out[f, ...] = sum_c kernel[c, f] * x[..., c, ...] with the contraction on
+    `contract_axis` of x and the feature dim emitted FIRST. With channel-major
+    [C, B, L] inputs (contract_axis=0) the output [F, B, L] keeps the default
+    layout the flash kernel wants — the dot reorients for free on the MXU
+    instead of a transpose copy (round-4d HLO attribution)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    contract_axis: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[self.contract_axis]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (in_features, self.features))
+        y = jax.lax.dot_general(
+            kernel.astype(self.dtype), x.astype(self.dtype),
+            (((0,), (self.contract_axis % x.ndim,)), ((), ())),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype).reshape((-1,) + (1,) * (y.ndim - 1))
+        return y
+
+
+def _injection_to_cm(injected):
+    """Convert a canonical-layout injected q/k ([S, H, L, D] array or
+    (value, gate) tuple) to channel-major [H*D, S, L]."""
+    if isinstance(injected, tuple):
+        value, gate = injected
+        return (_canonical_to_cm(value), gate)
+    return _canonical_to_cm(injected)
+
+
+def _cm_to_canonical(a: jax.Array, heads: int) -> jax.Array:
+    """[H*D, B, L] -> [B, H, L, D] (the normal-world q/k layout)."""
+    hd, b, l = a.shape
+    return a.reshape(heads, hd // heads, b, l).transpose(2, 0, 3, 1)
+
+
+def _canonical_to_cm(a: jax.Array) -> jax.Array:
+    """[S, H, L, D] -> [H*D, S, L] (S may be 1 for broadcast injection)."""
+    s, h, l, d = a.shape
+    return a.transpose(1, 3, 0, 2).reshape(h * d, s, l)
+
+
 class CrossAttention(nn.Module):
     """Multi-head attention; self-attention when context is None.
 
@@ -187,8 +240,27 @@ class CrossAttention(nn.Module):
         tap: str = "",
         injection: Optional[Injection] = None,
         collect: Optional[Dict[str, jax.Array]] = None,
+        cmajor: bool = False,
     ) -> jax.Array:
         inner = self.heads * self.dim_head
+        if cmajor:
+            # channel-major world: x is [C, B, L]; context (if any) stays in
+            # its normal [B, Lk, C_ctx] form and the k/v projections reorient
+            # it in the dot (contract_axis=-1 -> [inner, B, Lk])
+            ctx_axis = 0 if context is None else -1
+            ctx = x if context is None else context
+            q = DenseT(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = DenseT(inner, use_bias=False, dtype=self.dtype, contract_axis=ctx_axis, name="to_k")(ctx)
+            v = DenseT(inner, use_bias=False, dtype=self.dtype, contract_axis=ctx_axis, name="to_v")(ctx)
+            if injection is not None and f"{tap}.q" in injection:
+                q = _apply_injection(q, _injection_to_cm(injection[f"{tap}.q"]))
+                k = _apply_injection(k, _injection_to_cm(injection[f"{tap}.k"]))
+            if collect is not None:
+                # canonical [B, H, L, D] so PnP sees world-independent shapes
+                collect[f"{tap}.q"] = _cm_to_canonical(q, self.heads)
+                collect[f"{tap}.k"] = _cm_to_canonical(k, self.heads)
+            out = sdpa_cbl(q, k, v, self.heads)
+            return DenseT(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
         ctx = x if context is None else context
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
@@ -213,8 +285,13 @@ class FeedForward(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, cmajor: bool = False) -> jax.Array:
         inner = self.dim * self.mult
+        if cmajor:
+            h = DenseT(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+            h, gate = jnp.split(h, 2, axis=0)
+            h = h * nn.gelu(gate, approximate=False)
+            return DenseT(self.dim, dtype=self.dtype, name="net_2")(h)
         h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)  # diffusers GEGLU uses exact erf gelu
@@ -242,10 +319,18 @@ class BasicTransformerBlock(nn.Module):
         injection: Optional[Injection] = None,
         collect: Optional[Dict[str, jax.Array]] = None,
         ctx_tile: int = 1,
+        cmajor: bool = False,
     ) -> jax.Array:
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x).astype(self.dtype)
+        # channel-major world: x is [C, B, L]; the LayerNorms normalize dim 0
+        # (param shapes unchanged: one feature axis of size C either way) and
+        # the batch axis for ctx_tile is 1
+        ln = dict(epsilon=1e-5, dtype=self.dtype)
+        if cmajor:
+            ln.update(reduction_axes=0, feature_axes=0)
+        batch_axis = 1 if cmajor else 0
+        h = nn.LayerNorm(**ln, name="norm1")(x).astype(self.dtype)
         x = x + CrossAttention(self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
-            h, None, tap=f"{tap}.attn1", injection=injection, collect=collect
+            h, None, tap=f"{tap}.attn1", injection=injection, collect=collect, cmajor=cmajor
         )
         if ctx_tile > 1:
             # sweep prefix dedup: everything upstream (conv_in, resnets, the
@@ -253,13 +338,13 @@ class BasicTransformerBlock(nn.Module):
             # conditions only diverge from the first cross-attention on, so
             # tile the batch here — entry i -> rows [i*ctx_tile, (i+1)*ctx_tile)
             # to match the engine's conditions-adjacent layout.
-            x = jnp.repeat(x, ctx_tile, axis=0)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x).astype(self.dtype)
+            x = jnp.repeat(x, ctx_tile, axis=batch_axis)
+        h = nn.LayerNorm(**ln, name="norm2")(x).astype(self.dtype)
         x = x + CrossAttention(self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn2")(
-            h, context
+            h, context, cmajor=cmajor
         )
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x).astype(self.dtype)
-        return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        h = nn.LayerNorm(**ln, name="norm3")(x).astype(self.dtype)
+        return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h, cmajor=cmajor)
 
 
 class _GNParams(nn.Module):
@@ -312,6 +397,37 @@ class SpatialTransformer(nn.Module):
     ) -> jax.Array:
         b, hh, ww, c = x.shape
         res = x
+        if _os.environ.get("DIFFMINING_TF_CMAJOR", "0") == "1" and not self.fused_norm:
+            # Channel-major transformer block (round-4 copy elimination): the
+            # block runs on [C, B, L] activations so every projection's dot
+            # emits the flash kernel's native layout — proj_in reorients
+            # NHWC->[C',B,L] and proj_out reorients [C,B,L]->[B,L,C'] INSIDE
+            # their dots, no explicit transposes anywhere (the round-4d HLO
+            # attribution put ~840 MB/dispatch of copies on this block's
+            # normal-world layout conflicts). DIFFMINING_TF_CMAJOR=1 enables.
+            h = group_norm(self.groups, 1e-6, self.dtype, "norm")(x)
+            h = h.astype(self.dtype).reshape(b, hh * ww, c)
+            kern, pbias = _ConvParams(c, self.channels, name="proj_in")()
+            h = jax.lax.dot_general(
+                kern[0, 0].astype(self.dtype), h, (((0,), (2,)), ((), ()))
+            ) + pbias.astype(self.dtype)[:, None, None]  # [C', B, L]
+            dim_head = self.channels // self.heads
+            for i in range(self.depth):
+                h = BasicTransformerBlock(
+                    self.channels, self.heads, dim_head, self.cross_dim, dtype=self.dtype,
+                    name=f"transformer_blocks_{i}",
+                )(
+                    h, context, tap=f"{tap}.{i}", injection=injection, collect=collect,
+                    ctx_tile=ctx_tile if i == 0 else 1, cmajor=True,
+                )
+            if ctx_tile > 1:
+                b = b * ctx_tile
+                res = jnp.repeat(res, ctx_tile, axis=0)
+            kern2, pbias2 = _ConvParams(self.channels, self.channels, name="proj_out")()
+            out = jax.lax.dot_general(
+                h, kern2[0, 0].astype(self.dtype), (((0,), (0,)), ((), ()))
+            ) + pbias2.astype(self.dtype)  # [B, L, C'] — the exit dot reorients
+            return out.reshape(b, hh, ww, self.channels) + res
         if self.fused_norm:
             # one fused Pallas pass for GN → proj_in (no activation between
             # them in diffusers); same param tree as the module path below
@@ -362,10 +478,19 @@ def nearest_resize(x: jax.Array, th: int, tw: int) -> jax.Array:
     center-aligned rounding instead; the two agree ONLY at exact integer
     scale factors — diffusers forwards odd upsample sizes for inputs that
     aren't multiples of 2^k (reference dift.py:44-56,146-147), where they
-    diverge. Indices are static, so this lowers to a free XLA gather."""
+    diverge.
+
+    Integer scale factors (every power-of-two UNet level) take the
+    broadcast-reshape path: floor(dst*in/out) == dst//s there, and the
+    repeat lowers to a plain layout-preserving fusion — the gather form
+    cost ~204 MB/dispatch of transpose copies at the three upsamplers
+    (round-4d HLO copy attribution, BENCH_NOTES). Odd sizes keep the
+    static-index gather."""
     b, h, w, c = x.shape
-    if th == 2 * h and tw == 2 * w:
-        return jax.image.resize(x, (b, th, tw, c), method="nearest")
+    if th % h == 0 and tw % w == 0:
+        sh, sw = th // h, tw // w
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, sh, w, sw, c))
+        return x.reshape(b, th, tw, c)
     import numpy as np
 
     rows = np.floor(np.arange(th) * (h / th)).astype(np.int32)

@@ -129,6 +129,61 @@ def sdpa(
     return sdpa_xla(q, k, v, mask=mask, scale=scale)
 
 
+def sdpa_cbl_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    scale: float | None = None,
+) -> jax.Array:
+    """Channel-major SDPA: q [H*D, B, Lq], k/v [H*D, B, Lk] -> [H*D, B, Lq].
+
+    The einsum contracts the (head-split) channel dim directly, so the
+    channel-major activations of the t-world transformer block (see
+    models/unet.py SpatialTransformer) never transpose through HBM.
+    Softmax accumulates fp32 as in sdpa_xla."""
+    hd, b, lq = q.shape
+    d = hd // heads
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    qh = q.reshape(heads, d, b, lq)
+    kh = k.reshape(heads, d, b, k.shape[2])
+    vh = v.reshape(heads, d, b, v.shape[2])
+    logits = jnp.einsum("hdbq,hdbk->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    o = jnp.einsum("bhqk,hdbk->hdbq", weights, vh)
+    return o.reshape(hd, b, lq)
+
+
+def sdpa_cbl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    scale: float | None = None,
+) -> jax.Array:
+    """Channel-major sdpa with the same measured pallas/XLA auto-dispatch
+    gate as sdpa() (self-attention L>=1024, head dim <=160, TPU)."""
+    backend = get_attention_backend()
+    use_pallas = backend == "pallas"
+    hd, b, lq = q.shape
+    if backend == "auto":
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        use_pallas = (
+            on_tpu and lq >= 1024 and lq == k.shape[2] and hd // heads <= 160
+        )
+    if use_pallas:
+        try:
+            from diffmining_tpu.ops.flash_attention import flash_attention_cbl
+
+            return flash_attention_cbl(q, k, v, heads, scale)
+        except Exception:
+            pass  # fall back to XLA (e.g. unsupported shape)
+    return sdpa_cbl_xla(q, k, v, heads, scale=scale)
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads",))
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     """[B, L, H*D] -> [B, H, L, D]."""

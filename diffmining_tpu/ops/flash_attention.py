@@ -177,7 +177,7 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None, return_lse=F
     return o
 
 
-def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, kv_len, block_k, masked):
+def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, kv_len, block_k, masked, k_axis=2):
     # Transposed-operand variant: refs are [1, D, block] with the SEQUENCE on
     # the lane (minor) axis — the layout XLA's qkv projections naturally emit
     # (the fused dot produces L-in-lanes; feeding the default-layout kernel
@@ -193,8 +193,8 @@ def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, kv_len, block
     # lanes regardless); the kernel is VPU-bound in the softmax chain, so
     # dropping the [bq, bk] sum-reduce is a real win (~1 of the ~5 VPU ops
     # per logit).
-    j = pl.program_id(2)
-    nj = pl.num_programs(2)
+    j = pl.program_id(k_axis)
+    nj = pl.num_programs(k_axis)
 
     @pl.when(j == 0)
     def _init():
@@ -367,6 +367,125 @@ def _fwd_t(qt, kt, vt, scale):
 def _bwd_t(scale, res, gt):
     dq, dk, dv = _bwd_rule(scale, res, gt.transpose(0, 1, 3, 2))
     return tuple(a.transpose(0, 1, 3, 2) for a in (dq, dk, dv))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_cbl(qc, kc, vc, heads, scale=None):
+    """Flash attention on channel-major operands: qc [H*D, B, Lq],
+    kc/vc [H*D, B, Lk] -> o [H*D, B, Lq].
+
+    This is the shape a transposed projection dot emits NATIVELY:
+    dot_general(W [C, H*D], x [C, B, L], contracting C) -> [H*D, B, L], so
+    the whole q/k/v/o path keeps default layouts end to end — no {1,2,0}
+    re-materialization of the transformer input and no per-operand HBM
+    transpose (the round-4d HLO attribution put ~630 MB/dispatch of copies
+    on exactly this boundary). Internally a free bitcast to [H, D, B·L]
+    feeds the same online-softmax kernels as flash_attention_t with
+    per-image block index maps. Under differentiation fwd/bwd reroute
+    through the standard-layout kernels."""
+    return _flash_forward_cbl(qc, kc, vc, heads, scale)
+
+
+def _flash_forward_cbl(qc, kc, vc, heads, scale=None, block_q=None, block_k=None, oneshot=None):
+    hd, b, lq = qc.shape
+    lk = kc.shape[2]
+    d = hd // heads
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    if (
+        block_q is None and block_k is None
+        and "DIFFMINING_FLASH_BLOCK_Q" not in os.environ
+        and "DIFFMINING_FLASH_BLOCK_K" not in os.environ
+        and lq >= 4096 and lq == lk
+    ):
+        block_q, block_k = 512, 4096  # same policy as _flash_forward_t
+    block_q = min(block_q or _BLOCK_Q, max(128, lq))
+    block_k = min(block_k or _BLOCK_K, max(128, lk))
+
+    # per-image pad on the L dim BEFORE merging (B, L): each image's segment
+    # must be block-aligned individually (no pad op at the product shapes —
+    # 4096 % 512 == 0 etc.)
+    qs = (qc * jnp.asarray(scale * LOG2E, qc.dtype)).reshape(heads, d, b, lq)
+    qq = _pad_to(qs, 3, block_q)
+    kk = _pad_to(kc.reshape(heads, d, b, lk), 3, block_k)
+    vv = _pad_to(vc.reshape(heads, d, b, lk), 3, block_k)
+    vv = jnp.concatenate([vv, jnp.ones((heads, 1, b, vv.shape[3]), vv.dtype)], axis=1)
+    lq_p, lk_p = qq.shape[3], kk.shape[3]
+    nqb, nkb = lq_p // block_q, lk_p // block_k
+    # merge (B, L): adjacent majors, a free bitcast in the default layout
+    qq = qq.reshape(heads, d, b * lq_p)
+    kk = kk.reshape(heads, d, b * lk_p)
+    vv = vv.reshape(heads, d + 1, b * lk_p)
+
+    if oneshot is None:
+        oneshot = _ONESHOT == "all" or (_ONESHOT == "1" and lq >= 4096)
+    if nkb == 1 and oneshot:
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel_t_1shot, kv_len=lk, masked=lk != lk_p),
+            out_shape=jax.ShapeDtypeStruct((heads, d, b * lq_p), qc.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(b, heads, nqb),
+                in_specs=[
+                    pl.BlockSpec((1, d, block_q), lambda bb, hh, i, n=nqb: (hh, 0, bb * n + i)),
+                    pl.BlockSpec((1, d, block_k), lambda bb, hh, i: (hh, 0, bb)),
+                    pl.BlockSpec((1, d + 1, block_k), lambda bb, hh, i: (hh, 0, bb)),
+                ],
+                out_specs=pl.BlockSpec((1, d, block_q), lambda bb, hh, i, n=nqb: (hh, 0, bb * n + i)),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+        )(qq, kk, vv)
+    else:
+        out = pl.pallas_call(
+            functools.partial(
+                _flash_kernel_t, kv_len=lk, block_k=block_k, masked=lk != lk_p, k_axis=3
+            ),
+            out_shape=jax.ShapeDtypeStruct((heads, d, b * lq_p), qc.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(b, heads, nqb, nkb),
+                in_specs=[
+                    pl.BlockSpec((1, d, block_q), lambda bb, hh, i, j, n=nqb: (hh, 0, bb * n + i)),
+                    pl.BlockSpec((1, d, block_k), lambda bb, hh, i, j, n=nkb: (hh, 0, bb * n + j)),
+                    pl.BlockSpec((1, d + 1, block_k), lambda bb, hh, i, j, n=nkb: (hh, 0, bb * n + j)),
+                ],
+                out_specs=pl.BlockSpec((1, d, block_q), lambda bb, hh, i, j, n=nqb: (hh, 0, bb * n + i)),
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, 1), jnp.float32),  # m
+                    pltpu.VMEM((block_q, d + 1), jnp.float32),  # acc (+l column)
+                ],
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+        )(qq, kk, vv)
+    out = out.reshape(heads, d, b, lq_p)[:, :, :, :lq]
+    return out.reshape(hd, b, lq)
+
+
+def _fwd_cbl(qc, kc, vc, heads, scale):
+    b, lq = qc.shape[1], qc.shape[2]
+    d = qc.shape[0] // heads
+
+    def to_bhld(a):
+        return a.reshape(heads, d, b, a.shape[2]).transpose(2, 0, 3, 1)
+
+    q, k, v = to_bhld(qc), to_bhld(kc), to_bhld(vc)
+    o, lse = _flash_forward(q, k, v, scale, return_lse=True)
+    o_c = o.transpose(1, 3, 0, 2).reshape(heads * d, b, lq)
+    return o_c, (q, k, v, o, lse)
+
+
+def _bwd_cbl(heads, scale, res, gc):
+    b, lq = gc.shape[1], gc.shape[2]
+    d = gc.shape[0] // heads
+    g = gc.reshape(heads, d, b, lq).transpose(2, 0, 3, 1)
+    dq, dk, dv = _bwd_rule(scale, res, g)
+    return tuple(
+        a.transpose(1, 3, 0, 2).reshape(heads * d, a.shape[0], a.shape[2])
+        for a in (dq, dk, dv)
+    )
 
 
 def _fwd(q, k, v, scale):
@@ -607,3 +726,4 @@ def _bwd_rule(scale, res, g):
 
 flash_attention.defvjp(_fwd, _bwd_rule)
 flash_attention_t.defvjp(_fwd_t, _bwd_t)
+flash_attention_cbl.defvjp(_fwd_cbl, _bwd_cbl)

@@ -164,6 +164,58 @@ def test_flash_transposed_gradient():
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize(
+    "b,h,lq,lk,d,block_q,block_k,oneshot",
+    [
+        (2, 2, 256, 256, 8, 128, 128, False),   # multi-k-block online path
+        (2, 2, 256, 256, 8, 128, 256, True),    # one-shot single-k-block
+        (2, 2, 256, 200, 8, 128, 256, True),    # per-image masked key pad
+        (2, 2, 250, 200, 8, 128, 128, False),   # q AND k per-image pads
+    ],
+)
+def test_flash_cbl_matches_xla(b, h, lq, lk, d, block_q, block_k, oneshot):
+    """flash_attention_cbl (channel-major [H*D, B, L] operands — the t-world
+    transformer block's native shape, models/unet.py) vs the channel-major
+    XLA reference, including the per-image L padding the merged (B, L) dim
+    requires."""
+    from diffmining_tpu.ops.attention import sdpa_cbl_xla
+    from diffmining_tpu.ops.flash_attention import _flash_forward_cbl
+
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(h * d, b, lq), jnp.float32)
+    k = jnp.asarray(rng.randn(h * d, b, lk), jnp.float32)
+    v = jnp.asarray(rng.randn(h * d, b, lk), jnp.float32)
+    want = np.asarray(sdpa_cbl_xla(q, k, v, h))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            _flash_forward_cbl(q, k, v, h, block_q=block_q, block_k=block_k, oneshot=oneshot)
+        )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_cbl_gradient():
+    """flash_attention_cbl's custom VJP reroutes through the standard
+    kernels; gradients must match the channel-major XLA reference."""
+    from diffmining_tpu.ops.attention import sdpa_cbl_xla
+    from diffmining_tpu.ops.flash_attention import flash_attention_cbl
+
+    rng = np.random.RandomState(4)
+    h, d, b, l = 2, 8, 2, 256
+    q, k, v = (jnp.asarray(rng.randn(h * d, b, l), jnp.float32) for _ in range(3))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention_cbl(q, k, v, h, None)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(sdpa_cbl_xla(q, k, v, h)))
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-3)
+
+
 def test_bf16_exp_kernel_fidelity(monkeypatch):
     """DIFFMINING_FLASH_BF16_EXP rounds the softmax exp2 argument to bf16
     (flash_attention.py:67-72). Pin its output error at the sweep's hot shape

@@ -139,6 +139,54 @@ def test_fused_norm_matches_module_path(unet_setup):
     np.testing.assert_allclose(got, base, rtol=2e-4, atol=2e-5)
 
 
+def test_cmajor_world_matches_normal(unet_setup, monkeypatch):
+    """DIFFMINING_TF_CMAJOR=1 (channel-major transformer blocks — the
+    round-4 copy-elimination layout) is a layout change, not a numerics
+    change: same param tree, same eps up to dot-order rounding."""
+    unet, params, x, t, ctx = unet_setup
+    ref = np.asarray(unet.apply(params, x, t, ctx))
+    monkeypatch.setenv("DIFFMINING_TF_CMAJOR", "1")
+    out = np.asarray(unet.apply(params, x, t, ctx))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    init_cm = jax.eval_shape(unet.init, jax.random.PRNGKey(0), x, t, ctx)
+    assert jax.tree_util.tree_structure(init_cm) == jax.tree_util.tree_structure(params)
+
+
+def test_cmajor_ctx_tile_matches_upfront_tiling(unet_setup, monkeypatch):
+    """The sweep prefix dedup (ctx_tile) keeps its conditions-adjacent batch
+    contract in the channel-major world (batch axis moves to 1 there)."""
+    unet, params, x, t, ctx = unet_setup
+    n_cond = 2
+    ctx_b = jax.random.normal(jax.random.PRNGKey(3), (2 * n_cond, 77, 32))
+    monkeypatch.setenv("DIFFMINING_TF_CMAJOR", "1")
+    out_dedup = unet.apply(params, x, t, ctx_b, ctx_tile=n_cond)
+    out_plain = unet.apply(
+        params, jnp.repeat(x, n_cond, axis=0), jnp.repeat(t, n_cond), ctx_b
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_dedup), np.asarray(out_plain), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_cmajor_collect_inject_cross_world(unet_setup, monkeypatch):
+    """PnP taps are collected in CANONICAL [B,H,L,D] layout regardless of
+    world, so taps recorded in one world inject into the other: collect
+    normal-world q/k, inject under cmajor, compare against the normal-world
+    injected pass."""
+    unet, params, x, t, ctx = unet_setup
+    src = unet.apply(params, x[:1], t[:1], ctx[:1], collect_injection=True)
+    taps = src["taps"]
+    qk = {k: v for k, v in taps.items() if k.endswith(".attn1.q") or k.endswith(".attn1.k")}
+    assert qk
+    ref = np.asarray(unet.apply(params, x, t, ctx, injection=qk))
+    monkeypatch.setenv("DIFFMINING_TF_CMAJOR", "1")
+    src_cm = unet.apply(params, x[:1], t[:1], ctx[:1], collect_injection=True)
+    for k, v in qk.items():
+        assert src_cm["taps"][k].shape == v.shape  # canonical layout contract
+    out = np.asarray(unet.apply(params, x, t, ctx, injection=qk))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_vae_roundtrip_shapes():
     vae = AutoencoderKL(TINY_VAE)
     img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
