@@ -85,7 +85,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, acc_ref, *, kv_len
     def _finish():
         acc = acc_ref[...]
         l_safe = jnp.maximum(acc[:, -1:], 1e-30)
-        o_ref[0] = (acc[:, :-1] / l_safe).astype(o_ref.dtype)
+        # reciprocal-then-multiply: one divide per ROW instead of per element
+        # (VPU divides are multi-pass; the [bq, d] broadcast becomes muls)
+        o_ref[0] = (acc[:, :-1] * (1.0 / l_safe)).astype(o_ref.dtype)
         # m is a base-2 logit; emit the NATURAL logsumexp for the backward
         lse_ref[0] = m_ref[...] * LN2 + jnp.log(l_safe)
 
@@ -228,7 +230,7 @@ def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, kv_len, block
     def _finish():
         acc = acc_ref[...]
         l_safe = jnp.maximum(acc[:, -1:], 1e-30)
-        o_ref[0] = (acc[:, :-1] / l_safe).T.astype(o_ref.dtype)  # [d, bq]
+        o_ref[0] = (acc[:, :-1] * (1.0 / l_safe)).T.astype(o_ref.dtype)  # [d, bq]
 
 
 def _flash_kernel_t_1shot(q_ref, k_ref, v_ref, o_ref, *, kv_len, masked):
@@ -257,7 +259,7 @@ def _flash_kernel_t_1shot(q_ref, k_ref, v_ref, o_ref, *, kv_len, masked):
         p.astype(vt.dtype), vt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, d+1]; column d is the softmax denominator
     l_safe = jnp.maximum(pv[:, -1:], 1e-30)
-    o_ref[0] = (pv[:, :-1] / l_safe).T.astype(o_ref.dtype)
+    o_ref[0] = (pv[:, :-1] * (1.0 / l_safe)).T.astype(o_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
