@@ -28,6 +28,11 @@ def parser_base() -> argparse.ArgumentParser:
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--gradient_checkpointing", action="store_true",
                    help="jax.checkpoint (remat) on UNet blocks")
+    p.add_argument("--gradient_checkpointing_policy", type=str, default="full",
+                   choices=["full", "attn", "dots"],
+                   help="what to remat: full=every block; attn=transformer "
+                        "blocks only (conv activations saved); dots=both "
+                        "under the dots-saveable policy (models/unet.py)")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--scale_lr", action="store_true",
                    help="scale lr by dp size × grad accumulation × batch (reference base.py:209)")

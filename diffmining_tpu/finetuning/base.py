@@ -142,8 +142,10 @@ class BaseTrainer:
         """--gradient_checkpointing: rebuild the UNet with block remat
         (same params pytree; reference cars.py:130-132)."""
         if getattr(self.args, "gradient_checkpointing", False) and not self.unet.config.remat:
+            policy = getattr(self.args, "gradient_checkpointing_policy", "full")
             self.unet = UNet2DCondition(
-                dataclasses.replace(self.unet.config, remat=True), dtype=self.unet.dtype
+                dataclasses.replace(self.unet.config, remat=True, remat_policy=policy),
+                dtype=self.unet.dtype,
             )
 
     # ------------------------------------------------------------------
@@ -215,8 +217,12 @@ class BaseTrainer:
         from diffmining_tpu.parallel.mesh import replicate_global
 
         self.state = replicate_global(self.mesh, self.state)
-        self.builder.vae_params = replicate_global(self.mesh, self.builder.vae_params)
-        self.builder.clip_params = replicate_global(self.mesh, self.builder.clip_params)
+        # one replicated tree shared by the train step AND sample()/decode —
+        # self.vae_params/self.clip_params must not stay host-local or
+        # previews mix process-spanning UNet params with local towers
+        # (ADVICE r4 medium)
+        self.vae_params = self.builder.vae_params = replicate_global(self.mesh, self.builder.vae_params)
+        self.clip_params = self.builder.clip_params = replicate_global(self.mesh, self.builder.clip_params)
         if self.builder.lora_base is not None:
             self.builder.lora_base = replicate_global(self.mesh, self.builder.lora_base)
 
@@ -340,18 +346,32 @@ class BaseTrainer:
         params = self.builder.dense_params(self.state, use_ema=args.use_ema)
         res = (self.args.resolution or self.spec.resolution) // 8
         lat = jax.random.normal(jax.random.PRNGKey(seed), (num_samples, res, res, 4), dtype=jnp.float32)
+        multihost = jax.process_count() > 1
+        if multihost:
+            # params are global (P() replicated, _place_global); the inputs
+            # must be too, or the step mixes global and host-local arrays.
+            # lat/prompts are deterministic per host, so this is placement
+            # only, no transfer.
+            from diffmining_tpu.parallel.mesh import fetch_replicated, replicate_global
+
+            lat = replicate_global(self.mesh, lat)
         eps_fn = lambda p, x, t, c: self.unet.apply(p, x.astype(self.dtype), t, c.astype(self.dtype))
         logs = {}
         for c in categories:
             prompts = [self.spec.sample_prompt.format(c=c)] * num_samples
             neg = [self.spec.negative_prompt] * num_samples
-            ctx = self.clip.apply(self.clip_params, jnp.asarray(self.tokenizer(prompts)))
-            nctx = self.clip.apply(self.clip_params, jnp.asarray(self.tokenizer(neg)))
+            tok = jnp.asarray(self.tokenizer(prompts))
+            ntok = jnp.asarray(self.tokenizer(neg))
+            if multihost:
+                tok, ntok = replicate_global(self.mesh, (tok, ntok))
+            ctx = self.clip.apply(self.clip_params, tok)
+            nctx = self.clip.apply(self.clip_params, ntok)
             z = sample_ddim(
                 eps_fn, params, self.schedule, lat.astype(self.dtype), ctx, nctx,
                 num_inference_steps=steps, guidance_scale=guidance_scale,
             )
             imgs = self.vae.apply(self.vae_params, z, method=AutoencoderKL.decode)
+            imgs = fetch_replicated(imgs) if multihost else np.asarray(imgs)
             logs[c] = [array_to_image(np.asarray(imgs[i], dtype=np.float32)) for i in range(num_samples)]
         return logs
 

@@ -80,6 +80,15 @@ class UNetConfig:
     # rematerialize blocks on backward (the reference's
     # --gradient_checkpointing, finetuning/cars.py:130-132)
     remat: bool = False
+    # what to rematerialize (train-path MFU work, round 5):
+    #   "full" — remat every resnet AND transformer block (max memory saving,
+    #            recomputes the conv-heavy resnets: the round-1..4 default);
+    #   "attn" — remat only the transformer blocks; resnet/conv activations
+    #            are saved (convs are the FLOPs — recomputing them costs far
+    #            more than the attention chain they bracket);
+    #   "dots" — remat both block kinds under the dots_with_no_batch_dims
+    #            policy (dot/matmul outputs saved, elementwise recomputed).
+    remat_policy: str = "full"
     # fuse the SpatialTransformer entry (GroupNorm → proj_in) into one Pallas
     # pass (ops/fused_norm.py). FORWARD-ONLY (no custom VJP) — enabled by the
     # inference stack (typicality SD) on TPU; params are identical either way
@@ -564,8 +573,20 @@ class UNet2DCondition(nn.Module):
             cfg.remat and not collect_injection and injection is None
             and not up_ft_indices and ctx_tile == 1
         )
-        Res = nn.remat(ResnetBlock) if use_remat else ResnetBlock
-        Tf = nn.remat(SpatialTransformer) if use_remat else SpatialTransformer
+        Res, Tf = ResnetBlock, SpatialTransformer
+        if use_remat:
+            if cfg.remat_policy == "full":
+                Res, Tf = nn.remat(ResnetBlock), nn.remat(SpatialTransformer)
+            elif cfg.remat_policy == "attn":
+                Tf = nn.remat(SpatialTransformer)
+            elif cfg.remat_policy == "dots":
+                pol = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                Res = nn.remat(ResnetBlock, policy=pol)
+                Tf = nn.remat(SpatialTransformer, policy=pol)
+            else:
+                raise ValueError(
+                    f"remat_policy={cfg.remat_policy!r}: expected full|attn|dots"
+                )
         pending_tile = ctx_tile if ctx_tile > 1 else 0
 
         def res_call(mod, h, tap):

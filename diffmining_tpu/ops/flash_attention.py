@@ -25,12 +25,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import os as _os
-
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634  # log2(e): fold into the q scale, exp->exp2
 LN2 = 0.6931471805599453
-_BF16_EXP = _os.environ.get("DIFFMINING_FLASH_BF16_EXP", "0") == "1"
+# DIFFMINING_FLASH_BF16_EXP was deleted in round 5: off-default since round 2,
+# measured −3% at kernel level (BENCH_NOTES), and the round-4c one-shot default
+# made it a silent no-op on single-k-block shapes. History: BENCH_NOTES round-2
+# table + round-5 note.
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, acc_ref, *, kv_len, block_k, masked):
@@ -69,13 +70,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, acc_ref, *, kv_len
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
-    if _BF16_EXP:
-        # bf16 exp halves the elementwise bytes; m stays fp32 and the MXU
-        # row-sum accumulates fp32 (measured ~-3%; off by default pending a
-        # fidelity check at sweep scale)
-        p = jnp.exp2((logits - m_new).astype(jnp.bfloat16))
-    else:
-        p = jnp.exp2(logits - m_new)
+    p = jnp.exp2(logits - m_new)
     m_ref[...] = m_new
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -114,6 +109,23 @@ _BLOCK_K = int(os.environ.get("DIFFMINING_FLASH_BLOCK_K", "1024"))
 # reproduce in-context: those levels are a small share of pass time and
 # the no-scratch kernel schedules better inside the full program.
 _ONESHOT = os.environ.get("DIFFMINING_FLASH_ONESHOT", "all")
+
+
+def _oneshot_auto(lq: int) -> bool:
+    """Resolve the DIFFMINING_FLASH_ONESHOT tri-state for a query length —
+    one definition shared by every forward so the gate can't drift between
+    kernels (and so tests can pin each setting's routing directly)."""
+    return _ONESHOT == "all" or (_ONESHOT == "1" and lq >= 4096)
+
+
+# multi-k-block no-max kernel (_flash_kernel_t_nomax) on long-L self-attention
+# when the key row does NOT fit one k block (candidate for the L=16384 regime;
+# measured round-5, see BENCH_NOTES). "0" = off (default), "1" = lq>=4096.
+_NOMAX = os.environ.get("DIFFMINING_FLASH_NOMAX", "0")
+
+
+def _nomax_auto(lq: int, lk: int) -> bool:
+    return _NOMAX == "1" and lq >= 4096 and lq == lk
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -217,10 +229,7 @@ def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, kv_len, block
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
-    if _BF16_EXP:
-        p = jnp.exp2((logits - m_new).astype(jnp.bfloat16))
-    else:
-        p = jnp.exp2(logits - m_new)
+    p = jnp.exp2(logits - m_new)
     m_ref[...] = m_new
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(vt.dtype), vt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -233,16 +242,63 @@ def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, kv_len, block
         o_ref[0] = (acc[:, :-1] * (1.0 / l_safe)).T.astype(o_ref.dtype)  # [d, bq]
 
 
+def _flash_kernel_t_nomax(q_ref, k_ref, v_ref, o_ref, acc_ref, *, kv_len, block_k, masked, k_axis=2):
+    # Multi-k-block no-max kernel: the one-shot envelope argument (see
+    # _flash_kernel_t_1shot) does not require the whole key row in ONE block —
+    # exp2 without the max shift is exact after the ones-row denominator
+    # division whatever the block structure, so the online-softmax machinery
+    # (running max, subtract, alpha rescale, m scratch) can be dropped while
+    # keeping k blocks small: acc += p @ v is the entire cross-block state.
+    # Two reasons to want small k blocks with no max: (a) L=16384 exceeds the
+    # one-shot kernel's VMEM at full-row k; (b) sub-row blocks let Mosaic
+    # pipeline the VPU exp2 of block j against the MXU logits dot of block
+    # j+1 (the "softmax-chain scheduling" lever, BENCH_NOTES round-5).
+    # Same fp32 envelope as the one-shot kernel.
+    j = pl.program_id(k_axis)
+    nj = pl.num_programs(k_axis)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qt = q_ref[0]  # [d, bq]
+    kt = k_ref[0]  # [d, bk]
+    vt = v_ref[0]  # [d+1, bk] (last row = ones)
+    logits = jax.lax.dot_general(
+        qt, kt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    if masked:
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, NEG_INF)
+    p = jnp.exp2(logits)
+    acc_ref[...] += jax.lax.dot_general(
+        p.astype(vt.dtype), vt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, d+1]; column d accumulates the denominator
+
+    @pl.when(j == nj - 1)
+    def _finish():
+        acc = acc_ref[...]
+        l_safe = jnp.maximum(acc[:, -1:], 1e-30)
+        o_ref[0] = (acc[:, :-1] * (1.0 / l_safe)).T.astype(o_ref.dtype)
+
+
 def _flash_kernel_t_1shot(q_ref, k_ref, v_ref, o_ref, *, kv_len, masked):
     # Single-k-block specialization: the FULL key row is resident in VMEM
     # (the >=4096 block switch below picks full-row k blocks anyway), so the
     # online-softmax machinery — running max, subtract, alpha rescale, m/acc
     # scratch — is pure VPU overhead. exp2 WITHOUT the max shift is
-    # mathematically identical after the ones-column denominator division
-    # and fp32-safe while |natural logit| < 88 (exp2 argument < 127; UNet
-    # attention logits are O(10) — GroupNorm'd activations through bounded
-    # projections; fidelity pinned at adversarial scale in
-    # tests/test_flash_attention.py). Masked pad columns hit
+    # mathematically identical after the ones-column denominator division,
+    # within an fp32 envelope the online kernel does not have:
+    #   * overflow: the fp32 PV accumulator sums p·v over the whole key row,
+    #     so the requirement is max logit2 < 127 − log2(Lk·max|v|) — natural
+    #     logit < ~76 at Lk=16384 with O(8) v, not the per-element 88;
+    #   * underflow: a row whose logits are ALL below logit2 −126 (natural
+    #     −87) has p = 0 everywhere and outputs zeros instead of a softmax.
+    # UNet attention logits are O(10) (GroupNorm'd activations through
+    # bounded projections), an order of magnitude inside both edges;
+    # fidelity is pinned at adversarial logit scale AND at the production
+    # Lk=4096/16384 key counts near the envelope edge in
+    # tests/test_flash_attention.py. Masked pad columns hit
     # exp2(NEG_INF) = 0 exactly, so masking needs no max either.
     # Saves ~2 of the ~4 VPU passes per logit in a VPU-bound kernel.
     qt = q_ref[0]  # [d, bq]
@@ -278,9 +334,11 @@ def flash_attention_t(qt, kt, vt, scale=None):
     return _flash_forward_t(qt, kt, vt, scale)
 
 
-def _flash_forward_t(qt, kt, vt, scale=None, block_q=None, block_k=None, oneshot=None):
+def _flash_forward_t(qt, kt, vt, scale=None, block_q=None, block_k=None, oneshot=None, nomax=None):
     # oneshot: None = auto (env gate + long-L regime); True/False forces the
-    # single-k-block no-max kernel on/off (tests exercise it at small shapes)
+    # single-k-block no-max kernel on/off (tests exercise it at small shapes).
+    # nomax: same for the MULTI-k-block no-max kernel (engages only when the
+    # key row spans several k blocks; the one-shot kernel wins otherwise).
     b, h, d, lq = qt.shape
     lk = kt.shape[3]
     scale = scale if scale is not None else 1.0 / (d**0.5)
@@ -309,11 +367,11 @@ def _flash_forward_t(qt, kt, vt, scale=None, block_q=None, block_k=None, oneshot
     bh, dp, lq_p = qq.shape
     lk_p = kk.shape[2]
 
-    # one-shot applies only in the long-L full-row-k regime: measured −3.9%
-    # at L4096 (8.13 -> 7.81 ms) but +27% at L1024/L256, where the no-scratch
-    # kernel pipelines worse at small grids (BENCH_NOTES round-4c)
+    # one-shot regime choice is measured: −3.9% at L4096 (8.13 -> 7.81 ms)
+    # and wins in-context at every level despite an isolated L1024/L256
+    # microbench regression (BENCH_NOTES round-4c)
     if oneshot is None:
-        oneshot = _ONESHOT == "all" or (_ONESHOT == "1" and lq >= 4096)
+        oneshot = _oneshot_auto(lq)
     if lk_p == block_k and oneshot:
         # single k block: the no-max specialization (see _flash_kernel_t_1shot)
         out = pl.pallas_call(
@@ -336,8 +394,23 @@ def _flash_forward_t(qt, kt, vt, scale=None, block_q=None, block_k=None, oneshot
         return out[:, :, :lq].reshape(b, h, d, lq)
 
     grid = (bh, lq_p // block_q, lk_p // block_k)
+    if nomax is None:
+        nomax = _nomax_auto(lq, lk)
+    if nomax:
+        kernel = functools.partial(
+            _flash_kernel_t_nomax, kv_len=lk, block_k=block_k, masked=lk != lk_p
+        )
+        scratch = [pltpu.VMEM((block_q, dp + 1), jnp.float32)]  # acc (+l column)
+    else:
+        kernel = functools.partial(
+            _flash_kernel_t, kv_len=lk, block_k=block_k, masked=lk != lk_p
+        )
+        scratch = [
+            pltpu.VMEM((block_q, 1), jnp.float32),  # m
+            pltpu.VMEM((block_q, dp + 1), jnp.float32),  # acc (+l column)
+        ]
     out = pl.pallas_call(
-        functools.partial(_flash_kernel_t, kv_len=lk, block_k=block_k, masked=lk != lk_p),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((bh, dp, lq_p), qt.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -348,10 +421,7 @@ def _flash_forward_t(qt, kt, vt, scale=None, block_q=None, block_k=None, oneshot
                 pl.BlockSpec((1, dp + 1, block_k), lambda bb, i, j: (bb, 0, j)),
             ],
             out_specs=pl.BlockSpec((1, dp, block_q), lambda bb, i, j: (bb, 0, i)),
-            scratch_shapes=[
-                pltpu.VMEM((block_q, 1), jnp.float32),  # m
-                pltpu.VMEM((block_q, dp + 1), jnp.float32),  # acc (+l column)
-            ],
+            scratch_shapes=scratch,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -419,7 +489,7 @@ def _flash_forward_cbl(qc, kc, vc, heads, scale=None, block_q=None, block_k=None
     vv = vv.reshape(heads, d + 1, b * lk_p)
 
     if oneshot is None:
-        oneshot = _ONESHOT == "all" or (_ONESHOT == "1" and lq >= 4096)
+        oneshot = _oneshot_auto(lq)
     if nkb == 1 and oneshot:
         out = pl.pallas_call(
             functools.partial(_flash_kernel_t_1shot, kv_len=lk, masked=lk != lk_p),

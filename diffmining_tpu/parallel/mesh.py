@@ -155,3 +155,15 @@ def replicate_global(mesh: Mesh, tree):
         return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
     return jax.tree_util.tree_map(leaf, tree)
+
+
+def fetch_replicated(x) -> np.ndarray:
+    """Local numpy view of a fully-REPLICATED array. Multi-process global
+    arrays are not fully addressable so np.asarray raises on them, but under
+    P() replication every device shard IS the whole array — read one local
+    shard instead of a collective fetch (finetuning/base.py sample())."""
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return np.asarray(x.addressable_data(0))
+    return np.asarray(x)

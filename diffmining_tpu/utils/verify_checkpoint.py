@@ -74,10 +74,13 @@ def pearson(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def spearman(a: np.ndarray, b: np.ndarray) -> float:
-    """Rank correlation (pearson of the rank vectors)."""
-    ra = np.argsort(np.argsort(np.asarray(a, np.float64)))
-    rb = np.argsort(np.argsort(np.asarray(b, np.float64)))
-    return pearson(ra.astype(np.float64), rb.astype(np.float64))
+    """Rank correlation with AVERAGE ranks for ties (fidelity.spearman):
+    argsort-of-argsort assigns order-dependent ranks to ties, and the fp16
+    loss grids the stage-6 medians derive from do tie — arbitrary tie ranks
+    add noise to a PASS/FAIL gate (ADVICE r4)."""
+    from diffmining_tpu.utils.fidelity import spearman as s
+
+    return s(np.asarray(a, np.float64), np.asarray(b, np.float64))
 
 
 def cluster_rank_correlation(

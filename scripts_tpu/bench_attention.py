@@ -82,10 +82,20 @@ def main():
     ap.add_argument("--grad", action="store_true")
     ap.add_argument("--shapes", type=str, default=None, help="H,L,D[;H,L,D...] override")
     ap.add_argument("--tlayout", action="store_true", help="bench flash_attention_t on [B,H,D,L] operands (inference layout) instead of the standard kernel")
+    ap.add_argument("--blocks", type=str, default=None,
+                    help="bq,bk override (tlayout only; bypasses the auto policy)")
+    ap.add_argument("--variant", default="auto",
+                    choices=["auto", "online", "oneshot", "nomax"],
+                    help="tlayout kernel variant: online softmax, one-shot "
+                         "single-k-block, or multi-k-block no-max (round 5)")
     args = ap.parse_args()
 
     from diffmining_tpu.ops.attention import sdpa_xla
-    from diffmining_tpu.ops.flash_attention import flash_attention, flash_attention_t
+    from diffmining_tpu.ops.flash_attention import (
+        _flash_forward_t,
+        flash_attention,
+        flash_attention_t,
+    )
 
     shapes = SHAPES
     if args.shapes:
@@ -100,8 +110,20 @@ def main():
             qt = jax.random.normal(k, (args.batch, h, d, l), jnp.bfloat16)
             kt = jax.random.normal(k, (args.batch, h, d, l), jnp.bfloat16)
             vt = jax.random.normal(k, (args.batch, h, d, l), jnp.bfloat16)
-            pallas_ms = runner(flash_attention_t, (qt, kt, vt), args.iters)
-            print(f"H{h} L{l} D{d}: pallas_t {pallas_ms:.2f} ms")
+            fn = flash_attention_t
+            tag = ""
+            if args.blocks or args.variant != "auto":
+                bq = bk = None
+                if args.blocks:
+                    bq, bk = (int(x) for x in args.blocks.split(","))
+                fn = functools.partial(
+                    _flash_forward_t, block_q=bq, block_k=bk,
+                    oneshot={"oneshot": True, "auto": None}.get(args.variant, False),
+                    nomax=args.variant == "nomax",
+                )
+                tag = f" [{args.variant} bq={bq} bk={bk}]"
+            pallas_ms = runner(fn, (qt, kt, vt), args.iters)
+            print(f"H{h} L{l} D{d}: pallas_t {pallas_ms:.2f} ms{tag}")
             continue
         q = jax.random.normal(k, (args.batch, h, l, d), jnp.bfloat16)
         kk = jax.random.normal(k, (args.batch, h, l, d), jnp.bfloat16)

@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--bwd", default="auto")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat-policy", default="full", choices=["full", "attn", "dots"],
+                    help="selective remat (round-5 train-MFU lever, models/unet.py)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient accumulation steps (reference effective batch 64)")
     ap.add_argument("--use-8bit", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU (smoke test)")
     ap.add_argument("--defer-fetch", action="store_true",
@@ -49,8 +53,13 @@ def main():
     sd = SD.init_random("cars", ["1960"], image_size=64)
     unet = sd.unet
     if args.remat:
-        unet = UNet2DCondition(dataclasses.replace(unet.config, remat=True))
-    opt = make_optimizer(make_lr_schedule("constant", 1e-5, 0), use_8bit=args.use_8bit)
+        unet = UNet2DCondition(
+            dataclasses.replace(unet.config, remat=True, remat_policy=args.remat_policy)
+        )
+    opt = make_optimizer(
+        make_lr_schedule("constant", 1e-5, 0), use_8bit=args.use_8bit,
+        accum_steps=args.accum,
+    )
     b = TrainStepBuilder(
         unet=unet, vae=sd.vae, clip=sd.clip, schedule=sd.schedule, optimizer=opt,
         vae_params=sd.vae_params, clip_params=sd.clip_params,
@@ -97,7 +106,8 @@ def main():
         best = min(best, (time.perf_counter() - t0) / args.steps)
     ips = args.batch / best
     print(
-        f"train-step B={args.batch} px={args.px} bwd={args.bwd} remat={args.remat}: "
+        f"train-step B={args.batch} px={args.px} bwd={args.bwd} remat={args.remat}"
+        f"/{args.remat_policy} accum={args.accum} 8bit={args.use_8bit} "
         f"defer_fetch={args.defer_fetch}: {best*1e3:.1f} ms/step = {ips:.2f} img/s/chip"
     )
 

@@ -128,15 +128,25 @@ def test_distributed_train_matches_single_process(tiny_pipe, ftt_data, tmp_path)
     assert set(ref) == {1, 2, 3}
 
     dist_out = str(tmp_path / "dist")
-    _run_pair("finetune", _train_args(tiny_pipe, ftt_data, dist_out))
+    # previews on the DISTRIBUTED side only: sample() must run as an SPMD
+    # computation over the 2-process mesh (global lat/ctx/vae/clip — the
+    # ADVICE r4 mixed-devices bug) without moving the training numbers
+    _run_pair(
+        "finetune",
+        _train_args(tiny_pipe, ftt_data, dist_out)
+        + ["--log_previews", "--num_samples_log", "1",
+           "--num_inference_steps", "2", "--logging_steps", "3"],
+    )
     got = _read_losses(dist_out)
-    assert set(got) == {1, 2, 3}
-    for step in (1, 2, 3):
-        np.testing.assert_allclose(got[step], ref[step], rtol=1e-5)
+    assert set(got) == {3}
+    np.testing.assert_allclose(got[3], ref[3], rtol=1e-5)
 
     # the collective orbax checkpoint finalized, and process 0 exported
     assert os.path.isdir(join(dist_out, "checkpoint-3", "state"))
     assert os.path.isfile(join(dist_out, "export", "model_index.json"))
+    # process 0 wrote the preview grids (one per ftt sample category)
+    plots = join(dist_out, "plots", "3")
+    assert os.path.isdir(plots) and any(f.endswith(".png") for f in os.listdir(plots))
 
 
 def test_distributed_typicality_matches_single_process(tiny_pipe, ftt_data, tmp_path):

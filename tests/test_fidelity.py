@@ -54,13 +54,14 @@ def test_compare_typicality_dirs(tmp_path):
     assert res["__mean__"] > 0.9
 
 
-def test_bf16_exp_chain_fidelity(monkeypatch):
-    """The DIFFMINING_FLASH_BF16_EXP softmax fast path must not move the
-    typicality instrument: run the tiny UNet → MSE grid → typicality_map
-    chain with every attention forced through the Pallas kernels (interpret
-    mode), bf16-exp OFF vs ON, and pin map agreement. Closes the BENCH_NOTES
-    round-2 "pending sweep-scale fidelity check" slot together with the
-    L=4096 kernel-level bound in test_flash_attention.py."""
+def test_oneshot_chain_fidelity(monkeypatch):
+    """The DEFAULT-ON one-shot no-max kernel must not move the typicality
+    instrument: run the tiny UNet → MSE grid → typicality_map chain with
+    every attention forced through the Pallas kernels (interpret mode),
+    ONESHOT off vs all, and pin map agreement. Engagement is pinned by
+    ROUTING (the kernels are mathematically identical inside the envelope,
+    so a value-difference guard would be flaky — the round-4 silent-no-op
+    lesson, VERDICT r4 weak #1/#2)."""
     from jax.experimental.pallas import tpu as pltpu
 
     import diffmining_tpu.ops.attention as attn
@@ -93,10 +94,20 @@ def test_bf16_exp_chain_fidelity(monkeypatch):
         g = np.asarray((pred - noisy) ** 2, np.float16).transpose(0, 3, 1, 2)
         return np.stack([g, g * 1.1], axis=1)  # synthetic null channel, same both runs
 
+    monkeypatch.setattr(fa, "_ONESHOT", "0")
     base = loss_grid()
-    monkeypatch.setattr(fa, "_BF16_EXP", True)
+
+    monkeypatch.setattr(fa, "_ONESHOT", "all")
+    calls = []
+    orig_1shot = fa._flash_kernel_t_1shot
+
+    def counting_1shot(*a, **k):
+        calls.append(1)
+        return orig_1shot(*a, **k)
+
+    monkeypatch.setattr(fa, "_flash_kernel_t_1shot", counting_1shot)
     fast = loss_grid()
-    assert np.any(base != fast), "flag did not engage"
+    assert calls, "one-shot kernel did not engage under ONESHOT=all"
 
     H, W, K = 64, 64, 16
     m0 = np.asarray(typicality_map(jnp.asarray(base), H, W, K, K))

@@ -216,39 +216,131 @@ def test_flash_cbl_gradient():
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-3)
 
 
-def test_bf16_exp_kernel_fidelity(monkeypatch):
-    """DIFFMINING_FLASH_BF16_EXP rounds the softmax exp2 argument to bf16
-    (flash_attention.py:67-72). Pin its output error at the sweep's hot shape
-    (L=4096 D=40, the level-0 self-attention — ~42% of a 512px UNet pass) so
-    the flag's fidelity is measured, not argued (BENCH_NOTES round-2 slot)."""
+@pytest.mark.parametrize(
+    "lq,lk,block_q,block_k,logit_std",
+    [
+        # production key counts near the documented fp32 envelope edge
+        # (natural logit < 127·ln2 − ln(Lk·max|v|) ≈ 76 at Lk=16384): q rows
+        # are unit-normalized so per-row logits are EXACTLY N(0, std²) — the
+        # max over Lk keys lands ~4.5σ ≈ 68, just inside the edge, an order
+        # of magnitude beyond the O(10) product logits
+        (128, 4096, 128, 4096, 15.0),
+        (128, 16384, 128, 16384, 15.0),
+    ],
+)
+def test_oneshot_envelope_edge(lq, lk, block_q, block_k, logit_std):
+    """The no-max one-shot kernel's fp32 safety envelope at the PRODUCTION
+    key counts (L=4096 512px, L=16384 1024px native-res): the overflow bound
+    is on the PV-accumulator row-sum, not the per-element exp2 —
+    flash_attention.py:_flash_kernel_t_1shot docs the math."""
     import diffmining_tpu.ops.flash_attention as fa
 
-    rng = np.random.RandomState(5)
-    q = jnp.asarray(rng.randn(1, 1, 4096, 40), jnp.float32)
-    k = jnp.asarray(rng.randn(1, 1, 4096, 40), jnp.float32)
-    v = jnp.asarray(rng.randn(1, 1, 4096, 40), jnp.float32)
+    rng = np.random.RandomState(11)
+    d = 8
+    qn = rng.randn(1, 1, d, lq)
+    qn = qn / np.linalg.norm(qn, axis=2, keepdims=True)  # unit q rows:
+    # logits = std·(u·k) with u·k ~ N(0,1) exactly — no heavy per-row tails
+    q = jnp.asarray(qn * logit_std * np.sqrt(d), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 1, d, lk), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 1, d, lk), jnp.float32)
+    want = np.asarray(
+        sdpa_xla(*(a.transpose(0, 1, 3, 2) for a in (q, k, v)))
+    ).transpose(0, 1, 3, 2)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fa._flash_forward_t(q, k, v, block_q=block_q, block_k=block_k, oneshot=True)
+        )
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "b,h,lq,lk,d,block_q,block_k,logit_scale",
+    [
+        (1, 2, 512, 512, 8, 128, 128, 1.0),   # 4 k blocks, no pad
+        (1, 1, 512, 300, 8, 128, 128, 1.0),   # masked key pad in the LAST block
+        (2, 1, 260, 520, 16, 128, 128, 1.0),  # q pad + k multi-block
+        (1, 1, 512, 512, 8, 128, 128, 12.0),  # adversarial logit magnitude
+    ],
+)
+def test_nomax_multiblock_matches_xla(b, h, lq, lk, d, block_q, block_k, logit_scale):
+    """_flash_kernel_t_nomax: exp2 WITHOUT the max shift across MULTIPLE
+    k blocks — acc += p@v is the only cross-block state, the denominator
+    division at the end makes it an exact softmax inside the one-shot
+    envelope. (The round-5 'softmax-chain scheduling' lever and the L=16384
+    middle ground above the one-shot kernel's VMEM cap.)"""
+    import diffmining_tpu.ops.flash_attention as fa
+
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(b, h, lq, d) * logit_scale, jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, lk, d), jnp.float32)
     want = np.asarray(sdpa_xla(q, k, v))
     with pltpu.force_tpu_interpret_mode():
-        base = np.asarray(flash_attention(q, k, v))
-        monkeypatch.setattr(fa, "_BF16_EXP", True)
-        got = np.asarray(flash_attention(q, k, v))
-        got_t = np.asarray(
-            flash_attention_t_roundtrip(q, k, v)
+        o_t = fa._flash_forward_t(
+            q.transpose(0, 1, 3, 2), k.transpose(0, 1, 3, 2), v.transpose(0, 1, 3, 2),
+            block_q=block_q, block_k=block_k, oneshot=False, nomax=True,
         )
-    assert np.any(got != base), "flag did not engage"
-    # fp32-exp kernel is pinned to XLA elsewhere; the bf16-exp delta must stay
-    # within ~bf16 resolution of the O(1)-scale outputs on BOTH kernels
-    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
-    np.testing.assert_allclose(got_t, want, rtol=5e-3, atol=5e-3)
+    got = np.asarray(o_t.transpose(0, 1, 3, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
-def flash_attention_t_roundtrip(q, k, v):
-    from diffmining_tpu.ops.flash_attention import flash_attention_t
+def test_nomax_env_gate_routes(monkeypatch):
+    """DIFFMINING_FLASH_NOMAX=1 routes long-L multi-k-block shapes to the
+    no-max kernel; default keeps the online-softmax kernel (flag-engagement
+    matrix discipline)."""
+    import diffmining_tpu.ops.flash_attention as fa
 
-    o_t = flash_attention_t(
-        q.transpose(0, 1, 3, 2), k.transpose(0, 1, 3, 2), v.transpose(0, 1, 3, 2)
-    )
-    return o_t.transpose(0, 1, 3, 2)
+    rng = np.random.RandomState(10)
+    q, k, v = (jnp.asarray(rng.randn(1, 1, 8, 4096), jnp.float32) for _ in range(3))
+
+    def count(name):
+        calls = []
+        orig = getattr(fa, name)
+
+        def w(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(fa, name, w)
+        return calls
+
+    assert not fa._nomax_auto(4096, 4096)  # default off
+    monkeypatch.setattr(fa, "_NOMAX", "1")
+    assert fa._nomax_auto(4096, 4096) and not fa._nomax_auto(1024, 1024)
+    nm = count("_flash_kernel_t_nomax")
+    with pltpu.force_tpu_interpret_mode():
+        # small q/k blocks force the multi-block branch (oneshot needs one)
+        fa._flash_forward_t(q, k, v, block_q=1024, block_k=1024, oneshot=False)
+    assert nm, "nomax kernel did not engage under DIFFMINING_FLASH_NOMAX=1"
+
+
+def test_oneshot_underflow_edge_is_designed_divergence():
+    """BEYOND the envelope the one-shot kernel diverges BY DESIGN: a row whose
+    natural logits all sit below −87 (exp2 argument < −126) underflows p to 0
+    and outputs ~0 where the online-softmax kernel still returns the correct
+    (uniform) softmax. Pin the boundary so it stays documented behavior, not
+    a surprise (ADVICE r4: envelope was stated optimistically as |logit|<88)."""
+    import diffmining_tpu.ops.flash_attention as fa
+
+    d, lq, lk = 8, 128, 256
+    rng = np.random.RandomState(12)
+    # all logits exactly −95 natural: q rows = a·e1, k rows = b·e1
+    q = np.zeros((1, 1, d, lq), np.float32)
+    k = np.zeros((1, 1, d, lk), np.float32)
+    q[0, 0, 0, :] = -95.0 * np.sqrt(d)  # ÷√d scale in the kernel → −95
+    k[0, 0, 0, :] = 1.0
+    v = jnp.asarray(rng.randn(1, 1, d, lk), jnp.float32)
+    q, k = jnp.asarray(q), jnp.asarray(k)
+    want = np.asarray(
+        sdpa_xla(*(a.transpose(0, 1, 3, 2) for a in (q, k, v)))
+    ).transpose(0, 1, 3, 2)  # uniform softmax → mean of v, O(0.06) values
+    with pltpu.force_tpu_interpret_mode():
+        one = np.asarray(fa._flash_forward_t(q, k, v, oneshot=True))
+        online = np.asarray(fa._flash_forward_t(q, k, v, oneshot=False))
+    np.testing.assert_allclose(online, want, rtol=2e-3, atol=2e-3)
+    assert np.abs(one).max() < 1e-20  # underflowed to ~0: the designed edge
+    assert np.abs(want).max() > 1e-3  # ...which genuinely diverges from softmax
 
 
 @pytest.mark.parametrize(

@@ -62,9 +62,11 @@ def test_lora_training_only_updates_factors(sd):
     assert any(np.abs(np.asarray(x) - np.asarray(y)).max() > 0 for x, y in zip(base_leaves, dense_leaves))
 
 
-def test_remat_same_outputs(sd):
-    """remat=True must not change the forward values, only memory."""
-    cfg = dataclasses.replace(TINY_UNET, remat=True)
+@pytest.mark.parametrize("policy", ["full", "attn", "dots"])
+def test_remat_same_outputs(sd, policy):
+    """remat=True must not change the forward values or gradients, only
+    memory — at every remat_policy (round-5 selective-remat lever)."""
+    cfg = dataclasses.replace(TINY_UNET, remat=True, remat_policy=policy)
     unet_r = UNet2DCondition(cfg)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
     t = jnp.array([7])
@@ -72,11 +74,15 @@ def test_remat_same_outputs(sd):
     plain = sd.unet.apply(sd.unet_params, x, t, ctx)
     rem = unet_r.apply(sd.unet_params, x, t, ctx)
     np.testing.assert_allclose(np.asarray(plain), np.asarray(rem), rtol=1e-5, atol=1e-6)
-    # and gradients flow through the remat path
-    def loss(p):
-        return jnp.sum(unet_r.apply(p, x, t, ctx) ** 2)
-    g = jax.grad(loss)(sd.unet_params)
-    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+    # gradients match the no-remat path (not just finite)
+    def loss(unet, p):
+        return jnp.sum(unet.apply(p, x, t, ctx) ** 2)
+
+    g_plain = jax.grad(lambda p: loss(sd.unet, p))(sd.unet_params)
+    g_rem = jax.grad(lambda p: loss(unet_r, p))(sd.unet_params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain), jax.tree_util.tree_leaves(g_rem)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
 def test_8bit_adam_train_step(sd):

@@ -132,6 +132,124 @@ def test_cluster_rank_detects_scrambled_tree(pipeline_dir, rank_fixture, tmp_pat
     assert all(v < 0.95 for v in per_cat.values()), per_cat
 
 
+@pytest.mark.slow
+def test_cluster_rank_cross_framework(pipeline_dir, rank_fixture, tmp_path):
+    """Stage 6 ACROSS frameworks (VERDICT r4 #6): a 'theirs' artifact tree
+    produced by the in-repo TORCH transcription chain — torch VAE encode,
+    torch UNet eps-prediction, torch-side fp16 MSE store — from the same
+    checkpoint and the same injected random draws must pass the >0.95
+    cluster-rank gate against a jax-swept tree. This is the strongest
+    fidelity statement available without real SD-v1.5 weights: the full
+    mining chain (patch union → DIFT → k-means → median rank) sits on top
+    of artifacts produced by two independent framework stacks."""
+    torch = pytest.importorskip("torch")
+    from diffmining_tpu.typicality.compute import Typicality
+    from diffmining_tpu.utils.images import image_uid, load_image
+    from diffmining_tpu.utils.torch_oracle import AutoencoderKLRef, UNet2DConditionRef
+    from diffmining_tpu.utils.verify_checkpoint import cluster_rank_correlation
+    from diffmining_tpu.utils.weights import load_pipeline_dir, load_safetensors_dir
+
+    out, _ = pipeline_dir
+    data, _bf16_tree = rank_fixture
+
+    # ---- jax side: a dedicated fp32 sweep (N=4, t in [0.1, 0.7)) ----------
+    ours_tree = str(tmp_path / "ours_fp32")
+    typ = Typicality(
+        "ftt", out, data, ours_tree, N=4, t_min=0.1, t_max=0.7,
+        batch_images=3, dtype=jnp.float32,
+    )
+    for c in typ.categories():
+        typ.D[c].compute_batch([(s, c) for s in typ.get_seeds_(c)])
+    sd = typ.sd
+    acp = np.asarray(sd.schedule.alphas_cumprod, np.float64)
+
+    # ---- torch side: same checkpoint, same draws, independent stack -------
+    p = load_pipeline_dir(out)
+    ucfg, vcfg = p["unet"]["config"], p["vae"]["config"]
+    tunet = UNet2DConditionRef(
+        in_channels=ucfg.in_channels, out_channels=ucfg.out_channels,
+        block_out_channels=ucfg.block_out_channels,
+        layers_per_block=ucfg.layers_per_block,
+        cross_attention_dim=ucfg.cross_attention_dim,
+        num_attention_heads=ucfg.num_attention_heads,
+        down_block_has_attn=ucfg.down_block_has_attn,
+        norm_num_groups=ucfg.norm_num_groups,
+        transformer_layers=ucfg.transformer_layers,
+        flip_sin_to_cos=ucfg.flip_sin_to_cos, freq_shift=ucfg.freq_shift,
+    ).eval()
+    missing, _ = tunet.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v, np.float32))
+         for k, v in load_safetensors_dir(os.path.join(out, "unet")).items()},
+        strict=False,
+    )
+    assert not missing
+    tvae = AutoencoderKLRef(
+        in_channels=vcfg.in_channels, out_channels=vcfg.out_channels,
+        latent_channels=vcfg.latent_channels,
+        block_out_channels=vcfg.block_out_channels,
+        layers_per_block=vcfg.layers_per_block,
+        norm_num_groups=vcfg.norm_num_groups,
+        scaling_factor=vcfg.scaling_factor,
+    ).eval()
+    missing, _ = tvae.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v, np.float32))
+         for k, v in load_safetensors_dir(os.path.join(out, "vae")).items()},
+        strict=False,
+    )
+    assert not missing
+
+    torch_tree = str(tmp_path / "torch_tree")
+    seed, N, t_lo, t_hi = 42, 4, 100, 700
+    vae_base = jax.random.fold_in(jax.random.PRNGKey(seed), 7)
+    sweep_base = jax.random.PRNGKey(seed)
+    for c in typ.categories():
+        os.makedirs(os.path.join(torch_tree, c), exist_ok=True)
+        ctx = typ.D[c]._ctx_pair(c)  # [2, 77, D] cond-first — injected on both sides
+        for path in typ.get_seeds_(c):
+            arr, _img = load_image(path, "ftt")  # identical preprocessing
+            uid = image_uid(path)
+            with torch.no_grad():
+                x = torch.from_numpy(arr.transpose(2, 0, 1)[None])
+                mean, logvar = tvae.encode_moments(x)
+                # the engine's exact posterior draw, injected (NHWC per image,
+                # matching encode_vae_per_image's vmapped sample_latent)
+                eps_v = np.asarray(jax.random.normal(
+                    jax.random.fold_in(vae_base, uid),
+                    (mean.shape[2], mean.shape[3], mean.shape[1]),
+                    dtype=jnp.float32,
+                ))
+                std = torch.exp(0.5 * logvar)
+                lat = (mean + std * torch.from_numpy(eps_v.transpose(2, 0, 1)[None])) \
+                    * vcfg.scaling_factor
+                # the engine's exact (eps, t) draws, injected
+                kn, kt = jax.random.split(jax.random.fold_in(sweep_base, uid))
+                hl, wl = lat.shape[2], lat.shape[3]
+                noises = np.asarray(jax.random.normal(
+                    kn, (N, hl, wl, vcfg.latent_channels), dtype=jnp.float32))
+                ts = np.asarray(jax.random.randint(kt, (N,), t_lo, t_hi, dtype=jnp.int32))
+                grids = []
+                for n in range(N):
+                    t = int(ts[n])
+                    noise_t = torch.from_numpy(noises[n][None].transpose(0, 3, 1, 2))
+                    noisy = float(np.sqrt(acp[t])) * lat + float(np.sqrt(1.0 - acp[t])) * noise_t
+                    per_cond = []
+                    for ci in range(2):
+                        pred = tunet(noisy, torch.tensor([t]), torch.from_numpy(ctx[ci][None]))
+                        per_cond.append(((pred.float() - noise_t) ** 2).half().numpy()[0])
+                    grids.append(np.stack(per_cond, axis=0))
+            np.save(
+                os.path.join(torch_tree, c, os.path.basename(path).rsplit(".", 1)[0] + ".npy"),
+                np.stack(grids),  # [N, 2, C, hl, wl] — the reference layout
+            )
+
+    per_cat = cluster_rank_correlation(
+        out, data, "ftt", ours_tree=ours_tree, theirs_tree=torch_tree,
+        num_clusters=7, patch=16, cache_path=str(tmp_path / "xcache"),
+    )
+    assert per_cat, "expected at least one category"
+    assert all(v > 0.95 for v in per_cat.values()), per_cat
+
+
 def test_verify_fails_on_corrupted_checkpoint(pipeline_dir, tmp_path):
     import shutil
 
