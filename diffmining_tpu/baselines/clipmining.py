@@ -18,9 +18,11 @@ limit, clipmining/README.md last paragraph, is lifted).
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import pickle
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 from os.path import join
 from typing import List, Optional, Sequence, Tuple
 
@@ -41,6 +43,49 @@ PATCH_COLUMNS = ["seed", "x_start", "y_start", "x_end", "y_end", "D"]
 # CLIP normalization constants (processor means/stds)
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+
+
+# --- device scoring path (VERDICT r4 #5) ------------------------------------
+#
+# The host score_map materializes the [D, H, W] bilinearly-upsampled token
+# features per image (~350 MB fp32 at ViT-L/336) only to mean-pool 5 boxes of
+# it. Bilinear resize is linear and separable, so a box mean equals
+# u^T @ token_grid @ v with u/v the box-averaged 1-D resize weights — the
+# device path fetches [k, D] per image instead of [D, H, W], and batches the
+# score-map pooling across the encode chunk. Host path kept for A/B
+# (DIFFMINING_CLIP_HOST_SCORING=1); parity pinned in test_clipmining.py.
+
+_HOST_SCORING = os.environ.get("DIFFMINING_CLIP_HOST_SCORING", "0") == "1"
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_weights(n: int, m: int) -> np.ndarray:
+    """[m, n] weight matrix of jax.image.resize(..., 'linear') from n to m
+    samples (upsampling; identity at n == m) — resize of eye(n) IS the matrix."""
+    eye = np.eye(n, dtype=np.float32)
+    return np.asarray(jax.image.resize(eye, (m, n), method="linear"))
+
+
+@functools.partial(jax.jit, static_argnames=("ph", "pw", "h", "w", "kx", "ky", "diff"))
+def _pooled_score_maps(tokens, text_embeds, ph, pw, h, w, kx, ky, diff):
+    """Batched reference score_map up to the pooled map: tokens [B, P, D]
+    (raw visual_projection outputs), text_embeds [2, D] L2-normalized →
+    pooled [B, h-kx+1, w-ky+1] fp32 (diff: country − "")."""
+    tok = tokens / jnp.linalg.norm(tokens, axis=-1, keepdims=True)
+    scores = jnp.einsum("bpd,cd->bcp", tok, text_embeds)
+    up = upsample_bilinear(scores.reshape(scores.shape[0], scores.shape[1], ph, pw), h, w)
+    pooled = box_pool(up, kx, ky)
+    return pooled[:, 0] - pooled[:, 1] if diff else pooled[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("ph", "pw"))
+def _box_embeds(tokens, U, V, ph, pw):
+    """Box-mean features of the upsampled token grid, exactly (bilinear is
+    separable + linear): tokens [B, P, D], U [B, k, ph], V [B, k, pw] →
+    L2-normalized [B, k, D]."""
+    grid = tokens.reshape(tokens.shape[0], ph, pw, tokens.shape[-1])
+    e = jnp.einsum("bkp,bpqd,bkq->bkd", U, grid, V)
+    return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
 
 
 def resize_center_crop(img: Image.Image, size: int) -> Image.Image:
@@ -70,8 +115,10 @@ class CLIPRankCluster:
         tokenizer: Optional[CLIPTokenizer] = None,
         crop: Optional[int] = None,
         batch_images: int = 8,
+        host_scoring: Optional[bool] = None,
     ):
         assert mode in ("diff", "sim")
+        self.host_scoring = _HOST_SCORING if host_scoring is None else host_scoring
         self.mode = mode
         self.dataset_path = dataset_path
         self.cache_path = join(cache_path, mode)
@@ -151,6 +198,13 @@ class CLIPRankCluster:
         chunks pad to `pad_to` (default `batch_images`) so the chunked rank
         loop hits ONE compiled shape (same policy as the sweep's
         _compute_group)."""
+        tokens, pw = self._project_device(imgs, pad_to)
+        return np.asarray(tokens[: len(imgs)], np.float32), pw
+
+    def _project_device(self, imgs: Sequence[Image.Image], pad_to: Optional[int] = None,
+                        ) -> Tuple[jax.Array, int]:
+        """project_images without the host fetch: tokens stay on device
+        (PADDED to the compiled batch) for the device scoring path."""
         n = len(imgs)
         pad_to = self.batch_images if pad_to is None else max(pad_to, 1)
         x = np.stack([self._preprocess(im) for im in imgs])
@@ -158,7 +212,7 @@ class CLIPRankCluster:
             x = np.concatenate([x, np.repeat(x[-1:], pad_to - n, axis=0)])
         _, tokens = self._vis_fn(self.vision_params, jnp.asarray(x))
         pw = imgs[0].width // self.vision.config.patch_size
-        return np.asarray(tokens[:n], np.float32), pw
+        return tokens.astype(jnp.float32), pw
 
     def project_text(self, prompts: Sequence[str]) -> np.ndarray:
         ids = jnp.asarray(self.tokenizer(list(prompts)))
@@ -195,17 +249,49 @@ class CLIPRankCluster:
         text_embeds = self.project_text([country, ""])
         rows, embeds = [], []
         seeds = self.get_seeds(country)
-        for start in range(0, len(seeds), self.batch_images):
-            chunk = seeds[start : start + self.batch_images]
-            imgs = [self.load_image(p) for p in chunk]
-            tokens_b, pw = self.project_images(imgs)
-            for path, img, tokens in zip(chunk, imgs, tokens_b):
-                pooled, feats = self.score_map(tokens, pw, text_embeds, (img.height, img.width), kx, ky)
-                boxes, scores = top_patches(pooled, kx, ky, k_per_image)
-                for (x0, y0, x1, y1), s in zip(boxes, scores):
-                    rows.append((path, x0, y0, x1, y1, float(s)))
-                    crop = feats[:, x0:x1, y0:y1].reshape(feats.shape[0], -1).mean(axis=1)
-                    embeds.append(crop / max(np.linalg.norm(crop), 1e-12))
+        if self.host_scoring:
+            for start in range(0, len(seeds), self.batch_images):
+                chunk = seeds[start : start + self.batch_images]
+                imgs = [self.load_image(p) for p in chunk]
+                tokens_b, pw = self.project_images(imgs)
+                for path, img, tokens in zip(chunk, imgs, tokens_b):
+                    pooled, feats = self.score_map(tokens, pw, text_embeds, (img.height, img.width), kx, ky)
+                    boxes, scores = top_patches(pooled, kx, ky, k_per_image)
+                    for (x0, y0, x1, y1), s in zip(boxes, scores):
+                        rows.append((path, x0, y0, x1, y1, float(s)))
+                        crop = feats[:, x0:x1, y0:y1].reshape(feats.shape[0], -1).mean(axis=1)
+                        embeds.append(crop / max(np.linalg.norm(crop), 1e-12))
+            return pd.DataFrame(rows, columns=PATCH_COLUMNS), embeds
+
+        # device path: batched pooled maps, [k, D] box-embed fetches, and the
+        # next chunk's PIL decodes prefetched while the device computes
+        te = jnp.asarray(text_embeds)
+        chunks = [seeds[s : s + self.batch_images] for s in range(0, len(seeds), self.batch_images)]
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(lambda c: [self.load_image(p) for p in c], chunks[0]) if chunks else None
+            for ci, chunk in enumerate(chunks):
+                imgs = fut.result()
+                if ci + 1 < len(chunks):
+                    fut = pool.submit(lambda c: [self.load_image(p) for p in c], chunks[ci + 1])
+                tokens_dev, pw = self._project_device(imgs)
+                ph = tokens_dev.shape[1] // pw
+                h, w = imgs[0].height, imgs[0].width
+                pooled_b = np.asarray(_pooled_score_maps(
+                    tokens_dev, te, ph, pw, h, w, kx, ky, self.mode == "diff"))
+                wh, ww = _resize_weights(ph, h), _resize_weights(pw, w)
+                U = np.zeros((len(tokens_dev), k_per_image, ph), np.float32)
+                V = np.zeros((len(tokens_dev), k_per_image, pw), np.float32)
+                counts = []
+                for bi, path in enumerate(chunk):
+                    boxes, scores = top_patches(pooled_b[bi], kx, ky, k_per_image)
+                    counts.append(len(boxes))
+                    for j, ((x0, y0, x1, y1), s) in enumerate(zip(boxes, scores)):
+                        rows.append((path, x0, y0, x1, y1, float(s)))
+                        U[bi, j] = wh[x0:x1].mean(axis=0)
+                        V[bi, j] = ww[y0:y1].mean(axis=0)
+                emb_b = np.asarray(_box_embeds(tokens_dev, jnp.asarray(U), jnp.asarray(V), ph, pw))
+                for bi in range(len(chunk)):
+                    embeds.extend(emb_b[bi, : counts[bi]])
         return pd.DataFrame(rows, columns=PATCH_COLUMNS), embeds
 
     # --- clustering (same constants as reference) ---
