@@ -88,6 +88,11 @@ def main():
                     choices=["auto", "online", "oneshot", "nomax"],
                     help="tlayout kernel variant: online softmax, one-shot "
                          "single-k-block, or multi-k-block no-max (round 5)")
+    ap.add_argument("--dispatch-probe", action="store_true",
+                    help="tlayout only: time ONE B-sized dispatch vs TWO "
+                         "B/2 dispatches per loop step — the difference "
+                         "bounds what 'dispatch overlap' could ever recover "
+                         "(VERDICT r4 #3 lever)")
     args = ap.parse_args()
 
     from diffmining_tpu.ops.attention import sdpa_xla
@@ -122,6 +127,20 @@ def main():
                     nomax=args.variant == "nomax",
                 )
                 tag = f" [{args.variant} bq={bq} bk={bk}]"
+            if args.dispatch_probe:
+                assert args.batch % 2 == 0
+                one_ms = runner(fn, (qt, kt, vt), args.iters)
+
+                def two(q, k, v, _fn=fn, _b=args.batch // 2):
+                    a = _fn(q[:_b], k[:_b], v[:_b])
+                    b2 = _fn(q[_b:], k[_b:], v[_b:])
+                    return jnp.concatenate([a, b2], axis=0)
+
+                two_ms = runner(two, (qt, kt, vt), args.iters)
+                print(f"H{h} L{l} D{d}: 1×B{args.batch} {one_ms:.2f} ms | "
+                      f"2×B{args.batch // 2} {two_ms:.2f} ms | "
+                      f"dispatch overhead {two_ms - one_ms:+.2f} ms{tag}")
+                continue
             pallas_ms = runner(fn, (qt, kt, vt), args.iters)
             print(f"H{h} L{l} D{d}: pallas_t {pallas_ms:.2f} ms{tag}")
             continue

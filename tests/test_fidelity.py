@@ -54,6 +54,7 @@ def test_compare_typicality_dirs(tmp_path):
     assert res["__mean__"] > 0.9
 
 
+@pytest.mark.slow  # ~100 s: numerics pin, not wiring (suite hygiene, VERDICT r4 #8)
 def test_oneshot_chain_fidelity(monkeypatch):
     """The DEFAULT-ON one-shot no-max kernel must not move the typicality
     instrument: run the tiny UNet → MSE grid → typicality_map chain with

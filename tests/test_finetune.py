@@ -85,6 +85,7 @@ def test_ema_decay_ramp():
     assert float(ema_decay_schedule(jnp.asarray(10**6))) == pytest.approx(0.9999)
 
 
+@pytest.mark.slow  # ~80 s e2e probe (suite hygiene, VERDICT r4 #8)
 def test_trainer_end_to_end(sd, ftt_data, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("run"))
     tr = make_trainer(sd, ftt_data, out)

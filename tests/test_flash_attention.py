@@ -378,7 +378,7 @@ def test_oneshot_nomax_matches_standard(b, h, lq, lk, d, logit_scale):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
-@pytest.mark.parametrize("l", [4096, 20480])
+@pytest.mark.parametrize("l", [4096, pytest.param(20480, marks=pytest.mark.slow)])
 def test_flash_large_l_block_regime(l):
     """The >=4096 block-shape switch (512x4096 full-row k blocks) and the
     beyond-16k regime that native-resolution mining reaches (a 1150px image

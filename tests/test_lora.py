@@ -62,6 +62,7 @@ def test_lora_training_only_updates_factors(sd):
     assert any(np.abs(np.asarray(x) - np.asarray(y)).max() > 0 for x, y in zip(base_leaves, dense_leaves))
 
 
+@pytest.mark.slow  # ~60 s/param gradient-parity pin (suite hygiene, VERDICT r4 #8)
 @pytest.mark.parametrize("policy", ["full", "attn", "dots"])
 def test_remat_same_outputs(sd, policy):
     """remat=True must not change the forward values or gradients, only

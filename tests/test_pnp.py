@@ -70,6 +70,7 @@ def test_cfg_prefix_dedup_matches_tiled(pnp):
         assert np.abs(np.asarray(x, np.int16) - np.asarray(y, np.int16)).max() <= 1
 
 
+@pytest.mark.slow  # ~40 s batching-parity pin (suite hygiene, VERDICT r4 #8)
 def test_batched_inversion_matches_single(sd):
     """invert() on a [S,H,W,3] stack must equal S independent inversions —
     batching only widens the batch axis (the product's --batch_sources path)."""
