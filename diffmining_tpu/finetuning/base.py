@@ -274,6 +274,13 @@ class BaseTrainer:
         previous checkpoint is kept until the new one has finalized)."""
         import orbax.checkpoint as ocp
 
+        # multi-host: orbax's own rendezvous (Gloo CPU collectives under the
+        # virtual-pod tests) has a fixed ~30 s context-init window — align
+        # processes first so skew from preceding host work (preview compiles,
+        # figure writes) can't strand one side (see mesh.host_barrier)
+        from diffmining_tpu.parallel.mesh import host_barrier
+
+        host_barrier("ckpt")
         path = os.path.abspath(self._ckpt_dir(step))
         if self._ckptr is None:
             self._ckptr = ocp.StandardCheckpointer()

@@ -157,6 +157,32 @@ def replicate_global(mesh: Mesh, tree):
     return jax.tree_util.tree_map(leaf, tree)
 
 
+_barrier_seq = 0
+
+
+def host_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Align all processes at a named coordination-service barrier (gRPC,
+    generous timeout). Used before collective-bearing host work (orbax saves)
+    whose OWN rendezvous has a short fixed window: XLA's Gloo CPU collectives
+    time out context init after 30 s, so if processes arrive skewed (e.g. one
+    just compiled a preview sampler on a loaded core) the save dies with
+    'Gloo context initialization failed: DEADLINE_EXCEEDED'. Aligning here
+    first makes the short-window rendezvous start in lockstep. No-op
+    single-process or when jax.distributed is not initialized."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    global _barrier_seq
+    _barrier_seq += 1
+    client.wait_at_barrier(f"diffmining_{name}_{_barrier_seq}", timeout_in_ms=timeout_ms)
+
+
 def fetch_replicated(x) -> np.ndarray:
     """Local numpy view of a fully-REPLICATED array. Multi-process global
     arrays are not fully addressable so np.asarray raises on them, but under

@@ -24,4 +24,15 @@ timeout 5400 env DIFFMINING_SWEEP_DEDUP=0 python bench.py --e2e --e2e-px 1024 --
 timeout 1800 python scripts_tpu/bench_attention.py --tlayout --batch 16 --shapes "8,4096,40" --dispatch-probe
 timeout 1800 python scripts_tpu/bench_attention.py --tlayout --batch 8 --shapes "8,16384,40" --dispatch-probe
 
+# C4-C6 train A5 follow-ups. A2: no-remat fits at B=4 (+15.6%); A3: attn-remat
+# OOMs at B=8 — memory binds fast once attention activations are saved. Probe
+# the middle of the memory/recompute tradeoff and the full-remat batch roof.
+timeout 3600 python scripts_tpu/bench_trainstep.py --batch 6 --use-8bit --defer-fetch
+timeout 3600 python scripts_tpu/bench_trainstep.py --batch 8 --remat --remat-policy dots --use-8bit --defer-fetch
+timeout 3600 python scripts_tpu/bench_trainstep.py --batch 16 --remat --use-8bit --defer-fetch
+
+# C7 optimizer-cost isolation: fp32 adam vs the 8-bit default at the winning
+# B=4 no-remat config (the step has ~196 ms not explained by UNet fwd+bwd)
+timeout 3600 python scripts_tpu/bench_trainstep.py --batch 4 --defer-fetch
+
 echo ROUND5C_BENCH_DONE
