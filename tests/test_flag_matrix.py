@@ -6,7 +6,10 @@ the one-shot kernel became the default route; that flag is now deleted).
 
 Gates covered: DIFFMINING_FLASH_ONESHOT, DIFFMINING_ATTN_BACKEND,
 DIFFMINING_ATTN_TLAYOUT, DIFFMINING_FLASH_BWD, DIFFMINING_SWEEP_DEDUP,
-DIFFMINING_TF_CMAJOR, DIFFMINING_FUSED_NORM.
+DIFFMINING_TF_CMAJOR, DIFFMINING_FUSED_NORM. Pinned elsewhere (same
+engagement standard): DIFFMINING_FLASH_NOMAX
+(test_flash_attention.test_nomax_env_gate_routes), DIFFMINING_CLIP_HOST_SCORING
+(test_clipmining), DIFFMINING_ATTN_TLAYOUT e2e (test_flash_attention).
 """
 import jax
 import jax.numpy as jnp
