@@ -27,7 +27,10 @@ def parser_base() -> argparse.ArgumentParser:
     p.add_argument("--max_train_steps", type=int, default=None)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--gradient_checkpointing", action="store_true",
-                   help="jax.checkpoint (remat) on UNet blocks")
+                   help="jax.checkpoint (remat) on UNet blocks. Only needed "
+                        "when activations OOM: B=4 512px fits WITHOUT it on "
+                        "one v5e chip and runs +15.6%% faster (BENCH_NOTES "
+                        "round-5 stage A); B>=8 single-chip requires it")
     p.add_argument("--gradient_checkpointing_policy", type=str, default="full",
                    choices=["full", "attn", "dots"],
                    help="what to remat: full=every block; attn=transformer "
