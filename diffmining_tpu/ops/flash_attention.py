@@ -119,9 +119,14 @@ def _oneshot_auto(lq: int) -> bool:
 
 
 # multi-k-block no-max kernel (_flash_kernel_t_nomax) on long-L self-attention
-# when the key row does NOT fit one k block (candidate for the L=16384 regime;
-# measured round-5, see BENCH_NOTES). "0" = off (default), "1" = lq>=4096.
-_NOMAX = os.environ.get("DIFFMINING_FLASH_NOMAX", "0")
+# when the key row does NOT fit one k block. "0" = off, "1" = lq>=4096
+# (default). Default ON per round-5 stage B/D: at L=16384 dropping the online-
+# softmax chain wins the microbench (50.20 vs 53.12 ms, −5.5%) AND e2e 1024px
+# native-res (359.1 vs 349.6 imgs/hr, +2.7% — BENCH_NOTES round-5 stage D).
+# It only engages where the key row spans several k blocks — at the default
+# block choice L=4096 is single-block and routes to the one-shot kernel first,
+# so the measured L=4096 forced-multi-block LOSS (stage B) is unreachable here.
+_NOMAX = os.environ.get("DIFFMINING_FLASH_NOMAX", "1")
 
 
 def _nomax_auto(lq: int, lk: int) -> bool:

@@ -305,9 +305,11 @@ def test_nomax_env_gate_routes(monkeypatch):
         monkeypatch.setattr(fa, name, w)
         return calls
 
-    assert not fa._nomax_auto(4096, 4096)  # default off
-    monkeypatch.setattr(fa, "_NOMAX", "1")
+    # default ON for long-L self-attn (round-5 stage D e2e win); "0" disengages
     assert fa._nomax_auto(4096, 4096) and not fa._nomax_auto(1024, 1024)
+    monkeypatch.setattr(fa, "_NOMAX", "0")
+    assert not fa._nomax_auto(4096, 4096)
+    monkeypatch.setattr(fa, "_NOMAX", "1")
     nm = count("_flash_kernel_t_nomax")
     with pltpu.force_tpu_interpret_mode():
         # small q/k blocks force the multi-block branch (oneshot needs one)
