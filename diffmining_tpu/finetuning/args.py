@@ -26,6 +26,12 @@ def parser_base() -> argparse.ArgumentParser:
     p.add_argument("--num_train_epochs", type=int, default=100)
     p.add_argument("--max_train_steps", type=int, default=None)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--gradient_accumulation_dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="grad accumulator storage dtype. bf16 halves the "
+                        "3.4 GB fp32 UNet accumulator — needed for accum>1 "
+                        "WITHOUT --gradient_checkpointing on one 16 GB chip "
+                        "(BENCH_NOTES round-5 stage E)")
     p.add_argument("--gradient_checkpointing", action="store_true",
                    help="jax.checkpoint (remat) on UNet blocks. Only needed "
                         "when activations OOM: B=4 512px fits WITHOUT it on "

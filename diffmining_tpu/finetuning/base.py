@@ -191,17 +191,20 @@ class BaseTrainer:
             schedule_fn, args.adam_beta1, args.adam_beta2, args.adam_weight_decay,
             args.adam_epsilon, args.max_grad_norm, args.gradient_accumulation_steps,
             use_8bit=args.use_8bit_adam,
+            accum_dtype=(jnp.bfloat16 if args.gradient_accumulation_dtype == "bf16" else None),
         )
         self.builder = TrainStepBuilder(
             unet=self.unet, vae=self.vae, clip=self.clip, schedule=self.schedule,
             optimizer=self.optimizer, vae_params=self.vae_params, clip_params=self.clip_params,
             use_ema=args.use_ema, ema_max_decay=args.ema_decay, mesh=self.mesh,
             lora_rank=(args.lora_rank if args.lora else None),
+            accum_steps=args.gradient_accumulation_steps,
         )
         self.state = self.builder.init_state(self.unet_params, jax.random.PRNGKey(args.seed))
         self._place_global()
         self.train_step = self.builder.build()
-        self.global_step = 0
+        self.global_step = 0   # optimizer steps (reference cars.py:286)
+        self.micro_step = 0    # train_step calls == int(state.step)
         self.first_epoch = 0
         self.resume_step = 0
         self._ckptr = None  # persistent async orbax checkpointer
@@ -335,10 +338,15 @@ class BaseTrainer:
                 )
             else:
                 self.state = ckptr.restore(join(os.path.abspath(path), "state"), self.state)
-        self.global_step = int(self.state.step)
-        self.first_epoch = self.global_step // self.num_update_steps_per_epoch
-        self.resume_step = self.global_step % self.num_update_steps_per_epoch
-        logger.info("Resumed from %s at step %d", path, self.global_step)
+        # state.step counts train_step CALLS (micro-steps); global_step is in
+        # optimizer-step units (reference semantics). Epoch position is in
+        # micro-batch units (the loader yields micro-batches).
+        self.micro_step = int(self.state.step)
+        self.global_step = self.micro_step // self.args.gradient_accumulation_steps
+        batches_per_epoch = max(1, len(self.loader))
+        self.first_epoch = self.micro_step // batches_per_epoch
+        self.resume_step = self.micro_step % batches_per_epoch
+        logger.info("Resumed from %s at optimizer step %d", path, self.global_step)
 
     # ------------------------------------------------------------------
     # sampling previews (reference cars.py:235-255)
@@ -455,6 +463,12 @@ class BaseTrainer:
         ) if is_proc0 else None
         timer = StepTimer()
         done = False
+        # global_step counts OPTIMIZER steps (accumulation-window boundaries),
+        # like the reference's accelerate loop (global_step += 1 only under
+        # sync_gradients, cars.py:286) — max_train_steps / checkpointing_steps
+        # / logging_steps are all in optimizer-step units. micro_step counts
+        # train_step calls (== state.step) and drives epoch resume.
+        accum = args.gradient_accumulation_steps
         for epoch in range(self.first_epoch, args.num_train_epochs):
             for step, batch in enumerate(self.loader.epoch(epoch)):
                 if epoch == self.first_epoch and step < self.resume_step:
@@ -462,10 +476,13 @@ class BaseTrainer:
                 self.state, loss = self.train_step(
                     self.state, self._globalize(batch["image"]), self._globalize(batch["tokenized"]), rng
                 )
-                self.global_step += 1
+                self.micro_step += 1
                 losses.append(loss)  # device scalar — no host fetch here
                 del losses[:-50]
                 timer.tick()
+                if self.micro_step % accum != 0:
+                    continue  # mid-window micro-step: no optimizer update
+                self.global_step += 1
                 if self.global_step % args.checkpointing_steps == 0:
                     self.save_checkpoint(self.global_step)
                 if self.global_step % args.logging_steps == 0:

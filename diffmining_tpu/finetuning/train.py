@@ -10,12 +10,13 @@ cars.py:257-300) as one pure jitted function over a device mesh:
     scalar (cars.py:290).
   * EMA is a pytree update inside the step (diffusers EMAModel semantics:
     decay ramp min(max_decay, (1+s)/(10+s)), training_utils).
-  * grad clip + AdamW via optax; grad accumulation via optax.MultiSteps.
+  * grad clip + AdamW via optax; grad accumulation via accumulate_every
+    (a lax.cond MultiSteps replacement that really skips the inner chain).
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +69,77 @@ def make_lr_schedule(name: str, lr: float, warmup: int, total_steps: Optional[in
     raise ValueError(name)
 
 
+class AccumulateEveryState(NamedTuple):
+    mini_step: jax.Array  # int32 in [0, every)
+    gradient_step: jax.Array  # int32, # of EMITTED inner updates
+    inner_state: Any
+    acc: Any  # grad SUM in acc_dtype
+
+
+def accumulate_every(
+    tx: optax.GradientTransformation, every: int, acc_dtype=None
+) -> optax.GradientTransformation:
+    """Gradient accumulation that actually SKIPS the inner optimizer chain.
+
+    optax.MultiSteps runs the wrapped optimizer on EVERY micro-step and
+    `where`-selects the emitted result (verified in its update() source), so
+    the ~100 ms batch-INDEPENDENT clip+AdamW+8-bit chain (31% of the B=4
+    train step, BENCH_NOTES round-5 stage A) would be paid every micro-step
+    and accumulation would amortize nothing. Here the inner update sits under
+    a real `lax.cond`: non-boundary micro-steps pay one accumulator add and
+    return zero updates. The accumulator is stored in `acc_dtype` (default:
+    the grads' own dtype) — bf16 halves the 3.4 GB fp32 UNet grad buffer
+    whose addition OOMed the no-remat accum-16 row (round-5 stage E); the
+    emitted mean is computed in the grads' dtype either way. Inner schedules
+    see `gradient_step` counts (emitted updates), like MultiSteps.
+    """
+    if every <= 1:
+        return tx
+
+    def init(params):
+        return AccumulateEveryState(
+            mini_step=jnp.zeros((), jnp.int32),
+            gradient_step=jnp.zeros((), jnp.int32),
+            inner_state=tx.init(params),
+            acc=jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, acc_dtype or p.dtype), params
+            ),
+        )
+
+    def update(grads, state, params=None):
+        acc = jax.tree_util.tree_map(
+            lambda a, g: a + g.astype(a.dtype), state.acc, grads
+        )
+        emit = state.mini_step == every - 1
+
+        def _emit(acc, inner_state, params):
+            mean = jax.tree_util.tree_map(
+                lambda a, g: (a.astype(g.dtype)) / every, acc, grads
+            )
+            updates, new_inner = tx.update(mean, inner_state, params)
+            return updates, new_inner, jax.tree_util.tree_map(jnp.zeros_like, acc)
+
+        def _skip(acc, inner_state, params):
+            return (
+                jax.tree_util.tree_map(jnp.zeros_like, grads),
+                inner_state,
+                acc,
+            )
+
+        updates, inner_state, acc = jax.lax.cond(
+            emit, _emit, _skip, acc, state.inner_state, params
+        )
+        new_state = AccumulateEveryState(
+            mini_step=(state.mini_step + 1) % every,
+            gradient_step=state.gradient_step + emit.astype(jnp.int32),
+            inner_state=inner_state,
+            acc=acc,
+        )
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     lr_schedule,
     beta1: float = 0.9,
@@ -77,6 +149,7 @@ def make_optimizer(
     max_grad_norm: float = 1.0,
     accum_steps: int = 1,
     use_8bit: bool = False,
+    accum_dtype=None,
 ) -> optax.GradientTransformation:
     if use_8bit:
         # int8 moment storage (reference --use_8bit_adam via bitsandbytes)
@@ -86,9 +159,7 @@ def make_optimizer(
     else:
         adam = optax.adamw(lr_schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay)
     tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), adam)
-    if accum_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
-    return tx
+    return accumulate_every(tx, accum_steps, acc_dtype=accum_dtype)
 
 
 def ema_decay_schedule(step: jax.Array, max_decay: float = 0.9999) -> jax.Array:
@@ -109,6 +180,12 @@ class TrainStepBuilder:
     use_ema: bool = False
     ema_max_decay: float = 0.9999
     mesh: Optional[Mesh] = None
+    # gradient accumulation factor of `optimizer` (accumulate_every). The
+    # step gates the param-apply + EMA tree passes under the same boundary
+    # cond so non-boundary micro-steps pay only fwd+bwd+one accumulator add;
+    # the EMA decay ramp counts OPTIMIZER steps (diffusers EMAModel.step runs
+    # once per sync_gradients window, reference base.py via accelerate)
+    accum_steps: int = 1
     # LoRA: state.params become the low-rank factors; the dense UNet params
     # stay frozen in `lora_base` and are merged inside the jitted loss
     # (reference base.py:199-205 attaches peft adapters instead)
@@ -143,7 +220,7 @@ class TrainStepBuilder:
 
     def build(self) -> Callable:
         vae, clip, unet, schedule, optimizer = self.vae, self.clip, self.unet, self.schedule, self.optimizer
-        use_ema, ema_max_decay = self.use_ema, self.ema_max_decay
+        use_ema, ema_max_decay, accum = self.use_ema, self.ema_max_decay, self.accum_steps
         T = schedule.num_train_timesteps
         sf = vae.config.scaling_factor
         lora_active = self.lora_rank is not None
@@ -182,14 +259,31 @@ class TrainStepBuilder:
             updates, opt_state = optimizer.update(
                 grads["params"], state.opt_state, state.params["params"]
             )
-            params = {"params": optax.apply_updates(state.params["params"], updates)}
-            if use_ema:
-                d = ema_decay_schedule(state.step, ema_max_decay)
-                ema = jax.tree_util.tree_map(
-                    lambda e, p: e * d + (1.0 - d) * p, state.ema_params, params
+
+            def _apply_and_ema(operand):
+                p_old, upd, ema_old = operand
+                p_new = {"params": optax.apply_updates(p_old["params"], upd)}
+                if use_ema:
+                    d = ema_decay_schedule(state.step // accum, ema_max_decay)
+                    ema_new = jax.tree_util.tree_map(
+                        lambda e, p: e * d + (1.0 - d) * p, ema_old, p_new
+                    )
+                else:
+                    ema_new = ema_old
+                return p_new, ema_new
+
+            if accum > 1:
+                # non-boundary micro-steps: updates are zeros (accumulate_every
+                # skipped the chain); skip the params+EMA tree passes too
+                emit = (state.step % accum) == accum - 1
+                params, ema = jax.lax.cond(
+                    emit,
+                    _apply_and_ema,
+                    lambda operand: (operand[0], operand[2]),
+                    (state.params, updates, state.ema_params),
                 )
             else:
-                ema = state.ema_params
+                params, ema = _apply_and_ema((state.params, updates, state.ema_params))
             new_state = TrainState(
                 step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
             )

@@ -1,0 +1,24 @@
+#!/bin/bash
+# Round-5 stage F: the accumulate_every rows (the stage-E queue's accum rows
+# ran the old optax.MultiSteps path — E1 row 1 OOMed no-remat on the fp32
+# accumulator, E1 row 2 measured MultiSteps-with-remat as the no-skip
+# baseline). accumulate_every puts the inner chain under a real lax.cond and
+# supports a bf16 accumulator, so these rows measure the actual VERDICT-#2
+# amortization lever.
+# Usage: bash scripts_tpu/bench_round5f.sh >> /tmp/round5f_bench.log 2>&1
+set -x
+cd "$(dirname "$0")/.."
+
+# F1: the headline row — no-remat (stage-A winner) + bf16 accumulator
+# (fits where fp32 OOMed) + accum 16 (reference effective batch 64).
+timeout 3600 python scripts_tpu/bench_trainstep.py --batch 4 --accum 16 --accum-dtype bf16 --use-8bit --defer-fetch
+
+# F2: isolation — same but full remat + f32 accumulator (direct comparison
+# against E1 row 2's MultiSteps number: the delta IS the chain skip).
+timeout 3600 python scripts_tpu/bench_trainstep.py --batch 4 --accum 16 --remat --use-8bit --defer-fetch
+
+# F3: attn-remat middle ground + f32 accumulator (does f32 accum fit when
+# only conv activations are saved?).
+timeout 3600 python scripts_tpu/bench_trainstep.py --batch 4 --accum 16 --remat --remat-policy attn --use-8bit --defer-fetch
+
+echo ROUND5F_BENCH_DONE

@@ -28,11 +28,22 @@ def main():
                     help="selective remat (round-5 train-MFU lever, models/unet.py)")
     ap.add_argument("--accum", type=int, default=1,
                     help="gradient accumulation steps (reference effective batch 64)")
+    ap.add_argument("--accum-dtype", default="f32", choices=["f32", "bf16"],
+                    help="accumulator storage dtype (bf16 halves the 3.4 GB buffer)")
     ap.add_argument("--use-8bit", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU (smoke test)")
     ap.add_argument("--defer-fetch", action="store_true",
                     help="product loop semantics: loss stays on device, one fetch per window")
     args = ap.parse_args()
+    if args.accum > 1:
+        # the timed window must hold a WHOLE number of accumulation windows:
+        # under accumulate_every the boundary micro-step pays the optimizer
+        # chain and the others don't, so a window with 0 (or 2) boundaries
+        # would bias best-of-N low (or high)
+        per = args.accum * max(1, round(args.steps / args.accum))
+        if per != args.steps:
+            print(f"accum={args.accum}: steps {args.steps} -> {per} (whole windows)")
+            args.steps = per
     os.environ["DIFFMINING_FLASH_BWD"] = args.bwd
 
     import dataclasses
@@ -59,10 +70,12 @@ def main():
     opt = make_optimizer(
         make_lr_schedule("constant", 1e-5, 0), use_8bit=args.use_8bit,
         accum_steps=args.accum,
+        accum_dtype=(jnp.bfloat16 if args.accum_dtype == "bf16" else None),
     )
     b = TrainStepBuilder(
         unet=unet, vae=sd.vae, clip=sd.clip, schedule=sd.schedule, optimizer=opt,
         vae_params=sd.vae_params, clip_params=sd.clip_params,
+        accum_steps=args.accum,
     )
     state = b.init_state(sd.unet_params)
 
@@ -107,7 +120,7 @@ def main():
     ips = args.batch / best
     print(
         f"train-step B={args.batch} px={args.px} bwd={args.bwd} remat={args.remat}"
-        f"/{args.remat_policy} accum={args.accum} 8bit={args.use_8bit} "
+        f"/{args.remat_policy} accum={args.accum}/{args.accum_dtype} 8bit={args.use_8bit} "
         f"defer_fetch={args.defer_fetch}: {best*1e3:.1f} ms/step = {ips:.2f} img/s/chip"
     )
 

@@ -228,6 +228,37 @@ def test_train_step_dp_psum(mesh):
     assert int(state.step) == 1
 
 
+def test_train_step_mesh_accum_bf16(mesh):
+    """Gradient accumulation under the explicit-mesh jit: the accumulate_every
+    lax.cond (+ bf16 accumulator + int8 Adam) must compile and route under
+    dp sharding with state donation — micro-step leaves params untouched,
+    boundary step moves them."""
+    from diffmining_tpu.finetuning.train import TrainStepBuilder, make_lr_schedule, make_optimizer
+
+    sd = SD.init_tiny("ftt", ["1930"])
+    m = make_mesh(dp=4, fsdp=1)
+    builder = TrainStepBuilder(
+        unet=sd.unet, vae=sd.vae, clip=sd.clip, schedule=sd.schedule,
+        optimizer=make_optimizer(
+            make_lr_schedule("constant", 1e-3, 0), use_8bit=True,
+            accum_steps=2, accum_dtype=jnp.bfloat16,
+        ),
+        vae_params=sd.vae_params, clip_params=sd.clip_params,
+        use_ema=False, mesh=m, accum_steps=2,
+    )
+    state = builder.init_state(sd.unet_params)
+    step = builder.build()
+    images, tokens = jnp.zeros((4, 32, 32, 3)), jnp.zeros((4, 77), jnp.int32)
+    before = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    state, loss = step(state, images, tokens, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]), before)
+    state, loss = step(state, images, tokens, jax.random.PRNGKey(0))
+    assert np.abs(np.asarray(jax.tree_util.tree_leaves(state.params)[0]) - before).max() > 0
+    assert int(state.opt_state.gradient_step) == 1
+
+
 def test_train_step_mesh_with_ema_and_lora(mesh):
     """EMA and LoRA branches under the explicit-mesh jit path — the dryrun
     and dp test run the plain branch only."""
