@@ -22,3 +22,21 @@ timeout 3600 python scripts_tpu/bench_trainstep.py --batch 4 --accum 16 --remat 
 timeout 3600 python scripts_tpu/bench_trainstep.py --batch 4 --accum 16 --remat --remat-policy attn --use-8bit --defer-fetch
 
 echo ROUND5F_BENCH_DONE
+
+# --- resurrected stage-E rows (the 5:11-6:10 queue died at session cutoff:
+# rows 1-3 OOMed on the fp32 MultiSteps accumulator / B=6, row 4+ never ran) ---
+
+# F4: B=6 probe — is the batch roof between 4 and 6 or between 6 and 8?
+timeout 3600 python scripts_tpu/bench_trainstep.py --batch 6 --use-8bit --defer-fetch
+
+# F5: fp32-vs-8bit isolation at the stage-A winner config (C7).
+timeout 3600 python scripts_tpu/bench_trainstep.py --batch 4 --defer-fetch
+
+# F6: clipmining host-scoring A/B (D5) — the device-scoring default's e2e win.
+timeout 5400 python scripts_tpu/bench_clipmining_e2e.py --images 1000 --batch 8 --host-scoring
+
+# F7/F8: large-batch remat rows (throughput/VMEM frontier beyond the B=4 roof).
+timeout 3600 python scripts_tpu/bench_trainstep.py --batch 8 --remat --remat-policy dots --use-8bit --defer-fetch
+timeout 3600 python scripts_tpu/bench_trainstep.py --batch 16 --remat --use-8bit --defer-fetch
+
+echo ROUND5F_BENCH_DONE
