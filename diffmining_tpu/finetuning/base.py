@@ -340,10 +340,13 @@ class BaseTrainer:
                 self.state = ckptr.restore(join(os.path.abspath(path), "state"), self.state)
         # state.step counts train_step CALLS (micro-steps); global_step is in
         # optimizer-step units (reference semantics). Epoch position is in
-        # micro-batch units (the loader yields micro-batches).
+        # micro-batch units (the loader yields micro-batches). --export-only
+        # goes through export_init (no dataloader), where epoch position is
+        # meaningless — guard the loader access.
         self.micro_step = int(self.state.step)
         self.global_step = self.micro_step // self.args.gradient_accumulation_steps
-        batches_per_epoch = max(1, len(self.loader))
+        loader = getattr(self, "loader", None)
+        batches_per_epoch = max(1, len(loader)) if loader is not None else 1
         self.first_epoch = self.micro_step // batches_per_epoch
         self.resume_step = self.micro_step % batches_per_epoch
         logger.info("Resumed from %s at optimizer step %d", path, self.global_step)
