@@ -76,6 +76,18 @@ class AccumulateEveryState(NamedTuple):
     acc: Any  # grad SUM in acc_dtype
 
 
+class AccumulateEvery(NamedTuple):
+    """optax.GradientTransformation duck-type that also carries the inner tx
+    so TrainStepBuilder can bypass the runtime lax.cond with two statically
+    specialized programs (see build())."""
+
+    init: Callable
+    update: Callable
+    inner: optax.GradientTransformation
+    every: int
+    acc_dtype: Any
+
+
 def accumulate_every(
     tx: optax.GradientTransformation, every: int, acc_dtype=None
 ) -> optax.GradientTransformation:
@@ -92,6 +104,17 @@ def accumulate_every(
     whose addition OOMed the no-remat accum-16 row (round-5 stage E); the
     emitted mean is computed in the grads' dtype either way. Inner schedules
     see `gradient_step` counts (emitted updates), like MultiSteps.
+
+    MEMORY caveat (round-5 stage F): as a generic optax transformation the
+    emit decision is a traced value, so the lax.cond is a barrier — the full
+    grad tree, the accumulator AND the full-tree `updates` output buffer are
+    live simultaneously at the cond, which defeats XLA's per-tensor
+    interleaving of the backward pass with the optimizer and OOMed every
+    512px accum row on one 16 GB chip. TrainStepBuilder therefore bypasses
+    this update() when it can see the window statically (the trainer loop
+    knows the micro-step index) and compiles skip/emit as two separate
+    programs; this cond path remains the reference semantics (equivalence
+    pinned in test_finetune.py) and the path for generic optax use.
     """
     if every <= 1:
         return tx
@@ -137,7 +160,7 @@ def accumulate_every(
         )
         return updates, new_state
 
-    return optax.GradientTransformation(init, update)
+    return AccumulateEvery(init, update, inner=tx, every=every, acc_dtype=acc_dtype)
 
 
 def make_optimizer(
@@ -224,91 +247,169 @@ class TrainStepBuilder:
         T = schedule.num_train_timesteps
         sf = vae.config.scaling_factor
         lora_active = self.lora_rank is not None
+        # Static accumulation windows: the trainer loop KNOWS the micro-step
+        # index, so the emit decision need not be a traced value. Compiling
+        # skip/emit as two separate programs removes the lax.cond barrier at
+        # which the full 3.4 GB grad tree + accumulator + full-tree `updates`
+        # output buffer were simultaneously live (the stage-F OOMs): in the
+        # skip program XLA consumes each gradient into the accumulator as the
+        # backward pass produces it, exactly as it interleaves Adam with the
+        # backward in the non-accum step. DIFFMINING_ACCUM_STATIC=0 reverts
+        # to the single-program runtime-cond path (accumulate_every.update).
+        import os as _os
+
+        accum_static = (
+            accum > 1
+            and isinstance(optimizer, AccumulateEvery)
+            and _os.environ.get("DIFFMINING_ACCUM_STATIC", "1") != "0"
+        )
 
         # frozen params enter as jit ARGUMENTS, not closure constants: closed-
         # over arrays are embedded into the serialized HLO, which bloats every
         # compile by ~800 MB (VAE+CLIP, plus the 3.4 GB dense UNet under LoRA)
         # and overflows the axon relay's remote-compile request limit
-        def train_step(state: TrainState, images, tokens, rng, vae_params, clip_params, lora_base):
-            """images [B,H,W,3] fp32 in [-1,1]; tokens [B,77] int32."""
-            k_lat, k_noise, k_t = jax.random.split(jax.random.fold_in(rng, state.step), 3)
+        def make_train_step(mode):
+            """mode: None = single program (runtime cond when accum>1);
+            "skip"/"emit" = statically specialized accumulation micro-step."""
 
-            mean, logvar = vae.apply(vae_params, images)
-            latents = sample_latent(mean, logvar, k_lat, sf)
-            noise = jax.random.normal(k_noise, latents.shape, dtype=jnp.float32)
-            bsz = latents.shape[0]
-            t = jax.random.randint(k_t, (bsz,), 0, T, dtype=jnp.int32)
-            noisy = add_noise(schedule, latents, noise, t)
-            ctx = clip.apply(clip_params, tokens)
-            if schedule.prediction_type == "epsilon":
-                target = noise
-            else:
-                target = get_velocity(schedule, latents, noise, t)
+            def train_step(state: TrainState, images, tokens, rng, vae_params, clip_params, lora_base):
+                """images [B,H,W,3] fp32 in [-1,1]; tokens [B,77] int32."""
+                k_lat, k_noise, k_t = jax.random.split(jax.random.fold_in(rng, state.step), 3)
 
-            def loss_fn(params):
-                if lora_active:
-                    from diffmining_tpu.finetuning.lora import merge_lora
-
-                    apply_params = merge_lora(lora_base, params)
+                mean, logvar = vae.apply(vae_params, images)
+                latents = sample_latent(mean, logvar, k_lat, sf)
+                noise = jax.random.normal(k_noise, latents.shape, dtype=jnp.float32)
+                bsz = latents.shape[0]
+                t = jax.random.randint(k_t, (bsz,), 0, T, dtype=jnp.int32)
+                noisy = add_noise(schedule, latents, noise, t)
+                ctx = clip.apply(clip_params, tokens)
+                if schedule.prediction_type == "epsilon":
+                    target = noise
                 else:
-                    apply_params = params
-                pred = unet.apply(apply_params, noisy, t, ctx)
-                return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+                    target = get_velocity(schedule, latents, noise, t)
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = optimizer.update(
-                grads["params"], state.opt_state, state.params["params"]
-            )
+                def loss_fn(params):
+                    if lora_active:
+                        from diffmining_tpu.finetuning.lora import merge_lora
 
-            def _apply_and_ema(operand):
-                p_old, upd, ema_old = operand
-                p_new = {"params": optax.apply_updates(p_old["params"], upd)}
-                if use_ema:
-                    d = ema_decay_schedule(state.step // accum, ema_max_decay)
-                    ema_new = jax.tree_util.tree_map(
-                        lambda e, p: e * d + (1.0 - d) * p, ema_old, p_new
+                        apply_params = merge_lora(lora_base, params)
+                    else:
+                        apply_params = params
+                    pred = unet.apply(apply_params, noisy, t, ctx)
+                    return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+
+                loss, grads = jax.value_and_grad(loss_fn)(state.params)
+
+                def _apply_and_ema(operand):
+                    p_old, upd, ema_old = operand
+                    p_new = {"params": optax.apply_updates(p_old["params"], upd)}
+                    if use_ema:
+                        d = ema_decay_schedule(state.step // accum, ema_max_decay)
+                        ema_new = jax.tree_util.tree_map(
+                            lambda e, p: e * d + (1.0 - d) * p, ema_old, p_new
+                        )
+                    else:
+                        ema_new = ema_old
+                    return p_new, ema_new
+
+                if mode is not None:
+                    # statically specialized accumulation micro-step: same
+                    # math as accumulate_every.update, emit known at trace
+                    # time (equivalence pinned in test_finetune.py)
+                    ost = state.opt_state
+                    acc = jax.tree_util.tree_map(
+                        lambda a, g: a + g.astype(a.dtype), ost.acc, grads["params"]
+                    )
+                    if mode == "skip":
+                        opt_state = AccumulateEveryState(
+                            mini_step=(ost.mini_step + 1) % accum,
+                            gradient_step=ost.gradient_step,
+                            inner_state=ost.inner_state,
+                            acc=acc,
+                        )
+                        params, ema = state.params, state.ema_params
+                    else:  # emit
+                        mean_g = jax.tree_util.tree_map(
+                            lambda a, g: a.astype(g.dtype) / accum, acc, grads["params"]
+                        )
+                        updates, inner = optimizer.inner.update(
+                            mean_g, ost.inner_state, state.params["params"]
+                        )
+                        opt_state = AccumulateEveryState(
+                            mini_step=(ost.mini_step + 1) % accum,
+                            gradient_step=ost.gradient_step + 1,
+                            inner_state=inner,
+                            acc=jax.tree_util.tree_map(jnp.zeros_like, acc),
+                        )
+                        params, ema = _apply_and_ema((state.params, updates, state.ema_params))
+                    new_state = TrainState(
+                        step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
+                    )
+                    return new_state, loss
+
+                updates, opt_state = optimizer.update(
+                    grads["params"], state.opt_state, state.params["params"]
+                )
+
+                if accum > 1:
+                    # non-boundary micro-steps: updates are zeros (accumulate_every
+                    # skipped the chain); skip the params+EMA tree passes too
+                    emit = (state.step % accum) == accum - 1
+                    params, ema = jax.lax.cond(
+                        emit,
+                        _apply_and_ema,
+                        lambda operand: (operand[0], operand[2]),
+                        (state.params, updates, state.ema_params),
                     )
                 else:
-                    ema_new = ema_old
-                return p_new, ema_new
-
-            if accum > 1:
-                # non-boundary micro-steps: updates are zeros (accumulate_every
-                # skipped the chain); skip the params+EMA tree passes too
-                emit = (state.step % accum) == accum - 1
-                params, ema = jax.lax.cond(
-                    emit,
-                    _apply_and_ema,
-                    lambda operand: (operand[0], operand[2]),
-                    (state.params, updates, state.ema_params),
+                    params, ema = _apply_and_ema((state.params, updates, state.ema_params))
+                new_state = TrainState(
+                    step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
                 )
-            else:
-                params, ema = _apply_and_ema((state.params, updates, state.ema_params))
-            new_state = TrainState(
-                step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
-            )
-            return new_state, loss
+                return new_state, loss
 
-        if self.mesh is not None:
-            mesh = self.mesh
-            repl = NamedSharding(mesh, P())
-            data = NamedSharding(mesh, P("dp"))
-            # batch/rng shardings are constrained explicitly; the state and
-            # frozen towers keep their caller placement (None = committed
-            # sharding), so the same step serves replicated AND fsdp-sharded
-            # parameter layouts (parallel/mesh.shard_params)
-            jitted = jax.jit(
-                train_step,
-                in_shardings=(None, data, data, repl, None, None, None),
-                out_shardings=(None, repl),
-                donate_argnums=(0,),
-            )
-        else:
-            jitted = jax.jit(train_step, donate_argnums=(0,))
+            return train_step
+
+        def _jit(fn):
+            if self.mesh is not None:
+                mesh = self.mesh
+                repl = NamedSharding(mesh, P())
+                data = NamedSharding(mesh, P("dp"))
+                # batch/rng shardings are constrained explicitly; the state and
+                # frozen towers keep their caller placement (None = committed
+                # sharding), so the same step serves replicated AND fsdp-sharded
+                # parameter layouts (parallel/mesh.shard_params)
+                return jax.jit(
+                    fn,
+                    in_shardings=(None, data, data, repl, None, None, None),
+                    out_shardings=(None, repl),
+                    donate_argnums=(0,),
+                )
+            return jax.jit(fn, donate_argnums=(0,))
 
         builder = self
 
-        def step(state, images, tokens, rng):
+        if accum_static:
+            jit_skip = _jit(make_train_step("skip"))
+            jit_emit = _jit(make_train_step("emit"))
+            counter = None  # python-side micro-step index (lazy sync once)
+
+            def step(state, images, tokens, rng, emit=None):
+                nonlocal counter
+                if counter is None:
+                    counter = int(state.step)  # one host sync at first call/resume
+                e = (counter % accum) == accum - 1 if emit is None else bool(emit)
+                counter += 1
+                fn = jit_emit if e else jit_skip
+                return fn(state, images, tokens, rng, builder.vae_params, builder.clip_params, builder.lora_base)
+
+            step._accum_static = True  # introspection for tests/flag matrix
+            return step
+
+        jitted = _jit(make_train_step(None))
+
+        def step(state, images, tokens, rng, emit=None):
             return jitted(state, images, tokens, rng, builder.vae_params, builder.clip_params, builder.lora_base)
 
+        step._accum_static = False
         return step

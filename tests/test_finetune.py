@@ -190,6 +190,49 @@ def test_train_step_accum_gates_params_and_ema(sd):
     assert int(state.opt_state.gradient_step) == 1
 
 
+def test_train_step_accum_static_matches_cond(sd, monkeypatch):
+    """The statically specialized skip/emit programs (the default,
+    DIFFMINING_ACCUM_STATIC) compute exactly what the single-program
+    runtime-cond path computes — the static split exists for MEMORY (the
+    cond barrier held grads + accumulator + updates live at once and OOMed
+    every 512px accum row, BENCH_NOTES round-5 stage F), not for different
+    math."""
+    images = jnp.linspace(-1.0, 1.0, 2 * 32 * 32 * 3).reshape(2, 32, 32, 3)
+    tokens = jnp.zeros((2, 77), jnp.int32)
+
+    def run(static):
+        monkeypatch.setenv("DIFFMINING_ACCUM_STATIC", "1" if static else "0")
+        opt = make_optimizer(make_lr_schedule("constant", 1e-3, 0), accum_steps=2)
+        b = TrainStepBuilder(
+            unet=sd.unet, vae=sd.vae, clip=sd.clip, schedule=sd.schedule, optimizer=opt,
+            vae_params=sd.vae_params, clip_params=sd.clip_params, use_ema=True,
+            accum_steps=2,
+        )
+        state = b.init_state(sd.unet_params)
+        step = b.build()
+        assert step._accum_static is static  # the env gate ROUTES the build
+        losses = []
+        for _ in range(4):
+            state, loss = step(state, images, tokens, jax.random.PRNGKey(7))
+            losses.append(float(loss))
+        return state, losses
+
+    s_static, l_static = run(True)
+    s_cond, l_cond = run(False)
+    np.testing.assert_allclose(l_static, l_cond, rtol=1e-6)
+    assert int(s_static.opt_state.gradient_step) == int(s_cond.opt_state.gradient_step) == 2
+    assert int(s_static.opt_state.mini_step) == int(s_cond.opt_state.mini_step) == 0
+    # identical math, but DIFFERENT programs: XLA fuses the mean/Adam chain
+    # differently with vs without the cond, so last-ulp differences pass
+    # through Adam's rsqrt — pin to 1e-5 absolute (params are O(0.3)), not
+    # bitwise (measured max |Δ| 1.6e-6 after two optimizer steps)
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves((s_static.params, s_static.ema_params, s_static.opt_state.acc)),
+        jax.tree_util.tree_leaves((s_cond.params, s_cond.ema_params, s_cond.opt_state.acc)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
 def test_trainer_loop_accum_reference_step_semantics(sd, ftt_data, tmp_path_factory):
     """With gradient_accumulation_steps=k the trainer loop counts OPTIMIZER
     steps (the reference's accelerate loop increments global_step only under
