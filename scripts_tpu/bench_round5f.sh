@@ -1,8 +1,8 @@
 #!/bin/bash
 # Round-5 stage F: the accumulate_every rows (the stage-E queue's accum rows
-# ran the old optax.MultiSteps path — E1 row 1 OOMed no-remat on the fp32
-# accumulator, E1 row 2 measured MultiSteps-with-remat as the no-skip
-# baseline). accumulate_every puts the inner chain under a real lax.cond and
+# ran the old optax.MultiSteps path — BOTH E1 rows OOMed, no-remat and
+# full-remat; see BENCH_NOTES stage E/F for the corrected reading).
+# accumulate_every puts the inner chain under a real lax.cond and
 # supports a bf16 accumulator, so these rows measure the actual VERDICT-#2
 # amortization lever.
 # Usage: bash scripts_tpu/bench_round5f.sh >> /tmp/round5f_bench.log 2>&1
